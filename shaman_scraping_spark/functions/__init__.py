@@ -1,0 +1,11 @@
+from shaman_scraping_spark.functions.url import (  # noqa: F401
+    canonicalize_url,
+    url_hash,
+    url_host,
+    with_url_columns,
+)
+from shaman_scraping_spark.functions.html import (  # noqa: F401
+    extract_text_udf,
+    extract_links_udf,
+    redirect_target_udf,
+)

@@ -1,0 +1,146 @@
+"""URL algebra — canonicalization, 64-bit keying, host extraction.
+
+SURVEY.md §2B ops 8–10.  The reference keys its URL-seen set on a
+canonical URL identity (Shaman.Types LazyUri lineage; checkout empty,
+SURVEY.md §0); BASELINE.json pins the canonical form: lowercase
+scheme+host, strip fragment, sort query params, xxhash64 keying.
+
+Canonical spec (exact; the pure-Python twin and the native Catalyst
+path MUST agree byte-for-byte — property-tested in tests/test_url.py):
+
+  scheme   := lowercase(scheme)
+  host     := lowercase(host)            (no userinfo in scope)
+  port     := dropped when default (http:80, https:443), kept otherwise
+  path     := as-is;  empty path → "/"
+  query    := params split on '&', empty params dropped, remainder
+              sorted lexicographically (bytewise), joined with '&';
+              empty result → no '?'
+  fragment := dropped
+  percent-encoding: preserved as-is (no re-encoding)
+
+The native path is pure Catalyst expressions (whole-stage codegen,
+pushdown-friendly); no Python in the hot loop.  ``xxhash64`` is the
+Spark built-in (seed 42).  Exact set operations join on
+(url_hash, url_canon) — the hash for shuffle locality, the string for
+exactness (at a 10^10-URL frontier, 64-bit birthday collisions are
+~10^3 rows; string equality keeps "fetch once per URL" exact).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+# --- pure-Python twin (oracle simulator + property tests) -------------------
+
+def canonicalize_url_py(url: str) -> str | None:
+    """Pure-Python canonicalizer; must agree with :func:`canonicalize_url`."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = ""
+    try:
+        if parts.port is not None:
+            port = str(parts.port)
+    except ValueError:
+        return None
+    if port == _DEFAULT_PORTS.get(scheme):
+        port = ""
+    path = parts.path or "/"
+    params = [p for p in parts.query.split("&") if p != ""]
+    query = "&".join(sorted(params))
+    out = f"{scheme}://{host}"
+    if port:
+        out += f":{port}"
+    out += path
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def url_host_py(url: str) -> str | None:
+    c = canonicalize_url_py(url)
+    if c is None:
+        return None
+    try:
+        return urlsplit(c).hostname
+    except ValueError:  # pragma: no cover
+        return None
+
+
+# --- native Catalyst path ---------------------------------------------------
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a Catalyst expression (see spec above).
+
+    Returns NULL for non-http(s)/unparseable URLs so a ``.filter
+    (col.isNotNull())`` drops them — mirrors the reference refusing to
+    enqueue non-web schemes.
+    """
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    query_part = F.when(
+        query.isNotNull() & (sorted_q != ""), F.concat(F.lit("?"), sorted_q)
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    ok = (
+        scheme.isin("http", "https")
+        & host.isNotNull()
+        & (host != "")
+    )
+    return F.when(ok, canon).otherwise(F.lit(None))
+
+
+def url_host(url_canon: Column) -> Column:
+    """Host of an already-canonical URL (cheap: no lowercasing needed)."""
+    return F.parse_url(url_canon, F.lit("HOST"))
+
+
+def url_hash(url_canon: Column) -> Column:
+    """64-bit xxhash64 key of the canonical URL (Spark built-in, seed 42)."""
+    return F.xxhash64(url_canon)
+
+
+def with_url_columns(df, url_col: str = "url"):
+    """Stamp (url_canon, url_hash, host) onto *df* and drop non-web rows.
+
+    The standard prologue of every wave: pure Catalyst, pipelines into
+    the scan (no shuffle, no Python).
+    """
+    return (
+        df.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("url_hash", url_hash(F.col("url_canon")))
+        .withColumn("host", url_host(F.col("url_canon")))
+    )

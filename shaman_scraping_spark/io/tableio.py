@@ -1,0 +1,117 @@
+"""TableIO — snapshot tables with atomic manifest commits.
+
+The design target is Iceberg (``df.writeTo(name).append()`` /
+time-travel to a wave snapshot, as BASELINE.json's north_star names);
+no Iceberg runtime jar exists in this sandbox (SURVEY.md §0), so this
+seam reproduces the semantics the engine relies on over plain parquet:
+
+  * **atomic snapshot commit per wave** — data files are written to a
+    versioned directory, then a JSON manifest is renamed into place
+    (``os.rename`` is atomic on POSIX).  A reader never observes a
+    half-written snapshot; a killed writer leaves the previous manifest
+    intact → resume-safe (SURVEY.md §2A op 5).
+  * **time travel** — every wave's manifest is kept
+    (``manifest-<wave>.json``); ``latest`` is a pointer file.
+  * **write-read barrier** — each wave reads back the files it wrote,
+    truncating DataFrame lineage across iterations (the known Spark
+    iterative-algorithm failure mode, SURVEY.md §4).
+
+Swapping to real Iceberg on a cluster is one code path:
+``spark.read.format("iceberg")`` + ``writeTo`` in place of the
+parquet+manifest pair below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    """Versioned snapshot tables rooted at *root* (one subdir per table)."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # --- manifest plumbing -------------------------------------------------
+
+    def _tdir(self, table: str) -> Path:
+        d = self.root / table
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _manifest_path(self, table: str, wave: int) -> Path:
+        return self._tdir(table) / f"manifest-{wave:06d}.json"
+
+    def _latest_pointer(self, table: str) -> Path:
+        return self._tdir(table) / "latest.json"
+
+    def commit(self, table: str, df: DataFrame, wave: int,
+               mode: str = "snapshot") -> None:
+        """Write *df* as the snapshot of *table* at *wave*, atomically.
+
+        mode="snapshot": this wave's data IS the table state (frontier,
+        host_state, seen).  mode="append": table state is the union of
+        all waves' data dirs up to this wave (fetched, lineage) — the
+        WARC-archive append-only pattern.
+        """
+        tdir = self._tdir(table)
+        data_dir = tdir / f"data-{wave:06d}"
+        df.write.mode("overwrite").parquet(str(data_dir))
+
+        if mode == "append":
+            prev = self.read_manifest(table)
+            dirs = (prev["data_dirs"] if prev else []) + [data_dir.name]
+        else:
+            dirs = [data_dir.name]
+        manifest = {
+            "table": table,
+            "wave": wave,
+            "mode": mode,
+            "data_dirs": dirs,
+            "snapshot_id": uuid.uuid5(
+                uuid.NAMESPACE_URL, f"{table}/{wave}"
+            ).hex,
+        }
+        self._atomic_write_json(self._manifest_path(table, wave), manifest)
+        self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
+
+    @staticmethod
+    def _atomic_write_json(path: Path, obj: dict) -> None:
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
+        os.rename(tmp, path)  # atomic on POSIX
+
+    def read_manifest(self, table: str, wave: int | None = None) -> dict | None:
+        if wave is None:
+            ptr = self._latest_pointer(table)
+            if not ptr.exists():
+                return None
+            wave = json.loads(ptr.read_text())["wave"]
+        mp = self._manifest_path(table, wave)
+        if not mp.exists():
+            return None
+        return json.loads(mp.read_text())
+
+    def latest_wave(self, table: str) -> int | None:
+        m = self.read_manifest(table)
+        return None if m is None else m["wave"]
+
+    # --- reads -------------------------------------------------------------
+
+    def load(self, table: str, wave: int | None = None) -> DataFrame | None:
+        """Table state at *wave* (default: latest committed snapshot)."""
+        m = self.read_manifest(table, wave)
+        if m is None:
+            return None
+        paths = [str(self._tdir(table) / d) for d in m["data_dirs"]]
+        return self.spark.read.parquet(*paths)
+
+    def exists(self, table: str) -> bool:
+        return self._latest_pointer(table).exists()
