@@ -1,0 +1,221 @@
+"""Sequential oracle crawler — the reference-behavior stand-in.
+
+A deliberately simple, single-threaded, dict-and-list implementation
+of the exact wave semantics pinned in config.py (the same role the
+reference's single-process C# scheduler plays: one deterministic
+ground-truth ordering).  tests/test_crawl_e2e.py asserts the Spark
+engine's emission log / seen set / quota log / lineage totals equal
+this simulator's, which is the BASELINE.json "crawl-ordering equality
+under the same seed list + politeness budget" gate.
+
+Implementation independence: shares only the pure-Python *kernels*
+(canonicalizer twin, HTML extraction, robots parsing) with the
+engine — the orchestration (scheduling, politeness, dedup, ordering)
+is written separately from the DataFrame version, so disagreement
+exposes real bugs in either side's control flow.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from shaman_scraping_spark.config import UNLIMITED_QUOTA, CrawlConfig
+from shaman_scraping_spark.corpus.generator import Corpus
+from shaman_scraping_spark.functions.html import (
+    extract_links, redirect_target,
+)
+from shaman_scraping_spark.functions.url import canonicalize_url_py
+from shaman_scraping_spark.operators.politeness import (
+    parse_robots, robots_allowed, url_path_of,
+)
+
+
+@dataclass
+class SimResult:
+    emissions: list = field(default_factory=list)  # (wave, rank, url, depth, host)
+    seen: set = field(default_factory=set)         # url_canon
+    quota_log: list = field(default_factory=list)  # (host, wave, quota, emitted)
+    wave_totals: list = field(default_factory=list)  # (wave, urls, bytes)
+    fetched: list = field(default_factory=list)    # (url_canon, wave, status)
+    waves_run: int = 0
+
+
+def _host_of(url_canon: str) -> str:
+    rest = url_canon.split("://", 1)[1]
+    hostport = rest.split("/", 1)[0]
+    return hostport.rsplit(":", 1)[0] if ":" in hostport else hostport
+
+
+def _parent_key(parent: str | None):
+    return (0, "") if parent is None else (1, parent)
+
+
+def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
+    res = SimResult()
+    cfg = config
+
+    # corpus lookup by canonical url (earliest capture wins on dup canon)
+    by_canon: dict[str, tuple] = {}
+    for url, ts, html, text, lang in corpus.rows:
+        c = canonicalize_url_py(url)
+        if c is None:
+            continue
+        if c not in by_canon or (ts, url) < (by_canon[c][0], by_canon[c][1]):
+            by_canon[c] = (ts, url, html, text, lang)
+
+    def in_scope(url_canon: str, host: str, depth: int) -> bool:
+        if cfg.allowed_hosts is not None and host not in cfg.allowed_hosts:
+            return False
+        if cfg.include_regex:
+            import re
+            if not re.search(cfg.include_regex, url_canon):
+                return False
+        if cfg.exclude_regex:
+            import re
+            if re.search(cfg.exclude_regex, url_canon):
+                return False
+        return depth <= cfg.max_depth
+
+    # frontier: url_canon -> (depth, wave_discovered, parent_sort_key)
+    frontier: dict[str, tuple] = {}
+    for s in cfg.seeds:
+        c = canonicalize_url_py(s)
+        if c is None:
+            continue
+        h = _host_of(c)
+        if not in_scope(c, h, 0):
+            continue
+        prev = frontier.get(c)
+        cand = (0, 0, _parent_key(None))
+        if prev is None or cand < prev:
+            frontier[c] = cand
+
+    # host -> dict(rules, delay, tokens, budget_used)
+    host_state: dict[str, dict] = {}
+
+    def ensure_host(h: str) -> None:
+        if h in host_state:
+            return
+        robots_url = f"http://{h}/robots.txt"
+        entry = by_canon.get(robots_url) or by_canon.get(
+            f"https://{h}/robots.txt"
+        )
+        if entry is not None:
+            from shaman_scraping_spark.functions.html import decode_html
+            rules, delay = parse_robots(decode_html(entry[2]),
+                                        cfg.default_crawl_delay)
+        else:
+            rules, delay = [], cfg.default_crawl_delay
+        host_state[h] = {
+            "rules": rules, "delay": delay, "tokens": 0.0, "budget": 0,
+        }
+
+    for wave in range(cfg.max_waves):
+        if not frontier:
+            res.waves_run = wave
+            return res
+        # 1. refill
+        for c in frontier:
+            ensure_host(_host_of(c))
+        quotas: dict[str, int] = {}
+        for h, st in sorted(host_state.items()):
+            if st["delay"] > 0:
+                st["tokens"] = min(
+                    cfg.bucket_cap, st["tokens"] + cfg.wave_seconds / st["delay"]
+                )
+                q = math.floor(st["tokens"])
+            else:
+                st["tokens"] = cfg.bucket_cap
+                q = UNLIMITED_QUOTA
+            if cfg.max_pages_per_host is not None:
+                q = min(q, max(0, cfg.max_pages_per_host - st["budget"]))
+            quotas[h] = q
+
+        # 2. robots gate
+        eligible: list[tuple] = []   # (depth, wave_disc, parent_key, url, host)
+        for c, (depth, wdisc, pkey) in frontier.items():
+            h = _host_of(c)
+            st = host_state[h]
+            if robots_allowed(url_path_of(c), st["rules"]):
+                eligible.append((depth, wdisc, pkey, c, h))
+            else:
+                res.seen.add(c)   # dropped permanently
+        # 3. per-host top-k by (depth, discovery_ts≡wave_disc, url_canon)
+        per_host: dict[str, list] = {}
+        for depth, wdisc, pkey, c, h in eligible:
+            per_host.setdefault(h, []).append((depth, wdisc, c))
+        scheduled: list[tuple] = []   # (depth, wdisc, url, host)
+        remaining: dict[str, tuple] = {}
+        for h in sorted(per_host):
+            rows = sorted(per_host[h])  # (depth, wave_disc, url) lexicographic
+            q = quotas[h]
+            for i, (depth, wdisc, c) in enumerate(rows):
+                if i < q:
+                    scheduled.append((depth, wdisc, c, h))
+                else:
+                    remaining[c] = frontier[c]
+
+        # 4. emission log, global order (depth, discovery_ts, url_canon)
+        scheduled.sort()
+        for rank, (depth, wdisc, c, h) in enumerate(scheduled, start=1):
+            res.emissions.append((wave, rank, c, depth, h))
+
+        # quota log
+        emitted_by_host: dict[str, int] = {}
+        for _, _, c, h in scheduled:
+            emitted_by_host[h] = emitted_by_host.get(h, 0) + 1
+        for h in sorted(quotas):
+            res.quota_log.append(
+                (h, wave, quotas[h], emitted_by_host.get(h, 0))
+            )
+
+        # 5. fetch + link discovery
+        wave_bytes = 0
+        discoveries: dict[str, tuple] = {}
+        for depth, wdisc, c, h in scheduled:
+            res.seen.add(c)
+            entry = by_canon.get(c)
+            if entry is None:
+                res.fetched.append((c, wave, 404))
+                continue
+            _ts, _url, html, _text, _lang = entry
+            wave_bytes += len(html) if html is not None else 0
+            rt = redirect_target(html, c)
+            if rt is not None:
+                res.fetched.append((c, wave, 302))
+                links = [rt]
+            else:
+                res.fetched.append((c, wave, 200))
+                links = extract_links(html, c)
+            for link in links:
+                lc = canonicalize_url_py(link)
+                if lc is None:
+                    continue
+                lh = _host_of(lc)
+                if not in_scope(lc, lh, depth + 1):
+                    continue
+                cand = (depth + 1, wave + 1, _parent_key(c))
+                prev = discoveries.get(lc)
+                if prev is None or cand < prev:
+                    discoveries[lc] = cand
+
+        res.wave_totals.append((wave, len(scheduled), wave_bytes))
+
+        # 6. spend tokens
+        for h, n in emitted_by_host.items():
+            st = host_state[h]
+            if st["delay"] > 0:
+                st["tokens"] -= n
+            st["budget"] += n
+
+        # 7. frontier merge: (remaining ∪ discoveries) ∖ seen, min-key dedup
+        nxt: dict[str, tuple] = dict(remaining)
+        for lc, cand in discoveries.items():
+            prev = nxt.get(lc)
+            if prev is None or cand < prev:
+                nxt[lc] = cand
+        frontier = {c: v for c, v in nxt.items() if c not in res.seen}
+
+    res.waves_run = cfg.max_waves
+    return res

@@ -1,0 +1,223 @@
+"""robots.txt politeness — SURVEY.md §2A op 7, §2C ops 17–18.
+
+The reference caches robots.txt per host and enforces crawl-delay via
+its scheduler (BASELINE.json: "robots.txt cache + crawl-delay token
+bucket"; checkout empty, SURVEY.md §0).  Here:
+
+* robots bodies are rows of the pages corpus (``/robots.txt`` path);
+  parsing is a scalar pandas UDF → a small ``host_state`` dimension
+  that is **broadcast** into every politeness join (hosts ≪ URLs).
+* allow/deny is longest-match-wins over allow/disallow prefixes
+  (Google semantics, ties → allow); per-host rule lists are tiny, so
+  the match runs vectorized in a pandas UDF after the broadcast join.
+* the token bucket is pure column arithmetic (Catalyst), one update
+  per wave — see config.py for the pinned discretization.
+
+Parse spec (pinned; oracle simulator mirrors it):
+  lines split on '\n'; ``field: value`` with field case-insensitive;
+  only the ``User-agent: *`` group is honored; ``Disallow:``/
+  ``Allow:`` with empty value are ignored; ``Crawl-delay`` parsed as
+  float (invalid → default).  A missing/unfetchable robots.txt →
+  allow-all with the config default delay.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, StringType, StructField, StructType,
+)
+
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("rules", ArrayType(
+            StructType([
+                StructField("allow", BooleanType()),
+                StructField("prefix", StringType()),
+            ])
+        )),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+# --- pure-Python kernels (shared spec with the oracle simulator) ------------
+
+def parse_robots(body: str | None, default_delay: float = 0.0):
+    """robots.txt body → (rules, crawl_delay); see parse spec above."""
+    rules: list[tuple[bool, str]] = []
+    delay = default_delay
+    if not body:
+        return rules, delay
+    in_star_group = False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            in_star_group = value == "*"
+        elif in_star_group and field == "disallow" and value:
+            rules.append((False, value))
+        elif in_star_group and field == "allow" and value:
+            rules.append((True, value))
+        elif in_star_group and field == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                pass
+    return rules, delay
+
+
+def robots_allowed(path: str, rules) -> bool:
+    """Longest-match-wins over prefix rules; tie → allow; no match → allow."""
+    best_len = -1
+    best_allow = True
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            plen = len(prefix)
+            if plen > best_len or (plen == best_len and allow):
+                best_len = plen
+                best_allow = bool(allow)
+    return best_allow
+
+
+def url_path_of(url_canon: str) -> str:
+    """Path+query of a canonical URL (rules match on path per RFC 9309)."""
+    rest = url_canon.split("://", 1)[1]
+    slash = rest.find("/")
+    return rest[slash:] if slash >= 0 else "/"
+
+
+# --- Spark surface ----------------------------------------------------------
+
+def build_host_state(
+    pages: DataFrame, hosts: DataFrame, default_delay: float = 0.0
+) -> DataFrame:
+    """host dimension: robots rules + crawl_delay for every host in *hosts*.
+
+    *pages* needs (url_canon, host, html); robots rows are
+    ``{scheme}://{host}/robots.txt``.  Output: (host, rules,
+    crawl_delay) with allow-all defaults for robots-less hosts.
+    The caller broadcasts this into politeness joins.
+    """
+    robots_rows = pages.filter(
+        F.col("url_canon").endswith("/robots.txt")
+        & (
+            F.col("url_canon")
+            == F.concat(
+                F.split_part(F.col("url_canon"), F.lit("://"), F.lit(1)),
+                F.lit("://"), F.col("host"), F.lit("/robots.txt"),
+            )
+        )
+    ).select("host", "html")
+
+    @F.pandas_udf(ROBOTS_SCHEMA)
+    def parse_udf(html: pd.Series) -> pd.DataFrame:
+        from shaman_scraping_spark.functions.html import decode_html
+
+        out_rules, out_delay = [], []
+        for b in html:
+            rules, delay = parse_robots(decode_html(b), default_delay)
+            out_rules.append([
+                {"allow": a, "prefix": p} for a, p in rules
+            ])
+            out_delay.append(delay)
+        return pd.DataFrame({"rules": out_rules, "crawl_delay": out_delay})
+
+    parsed = robots_rows.withColumn("rb", parse_udf(F.col("html"))).select(
+        "host", F.col("rb.rules").alias("rules"),
+        F.col("rb.crawl_delay").alias("crawl_delay"),
+    )
+    return (
+        hosts.select("host").distinct()
+        .join(parsed, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("rules"), F.array()).alias("rules"),
+            F.coalesce(F.col("crawl_delay"), F.lit(default_delay)).alias(
+                "crawl_delay"
+            ),
+        )
+    )
+
+
+@F.pandas_udf(BooleanType())
+def robots_allowed_udf(path: pd.Series, rules: pd.Series) -> pd.Series:
+    out = []
+    for p, rl in zip(path, rules):
+        if rl is None or len(rl) == 0:
+            out.append(True)
+            continue
+        out.append(robots_allowed(p, [(r["allow"], r["prefix"]) for r in rl]))
+    return pd.Series(out, dtype=bool)
+
+
+def apply_robots_filter(frontier: DataFrame, host_state: DataFrame) -> DataFrame:
+    """Stamp ``allowed:boolean`` per frontier row (op 18).
+
+    host_state is broadcast (small dim); the prefix match is the one
+    place a pandas UDF runs in the scheduling path — rule lists don't
+    form a clean theta-join.
+    """
+    with_rules = frontier.join(
+        F.broadcast(host_state.select("host", "rules")), "host", "left"
+    )
+    # path+query = everything from the first '/' after the authority
+    # (canonical URLs always have a path, so locate() never returns 0;
+    # handles non-default ports, matching url_path_of exactly)
+    path = F.expr(
+        "substring(url_canon,"
+        " locate('/', url_canon, length(split_part(url_canon, '://', 1)) + 4))"
+    )
+    return with_rules.withColumn(
+        "allowed", robots_allowed_udf(path, F.col("rules"))
+    ).drop("rules")
+
+
+def refill_tokens(
+    host_state: DataFrame, wave_seconds: float, bucket_cap: float,
+    unlimited_quota: int,
+) -> DataFrame:
+    """Token-bucket refill + integer quota (op 17; pure Catalyst).
+
+    tokens' = min(cap, tokens + wave_seconds/delay)  (delay > 0)
+    quota   = floor(tokens')        delay == 0 → unlimited
+    """
+    tokens = F.when(
+        F.col("crawl_delay") > 0,
+        F.least(
+            F.lit(float(bucket_cap)),
+            F.col("tokens") + F.lit(float(wave_seconds)) / F.col("crawl_delay"),
+        ),
+    ).otherwise(F.lit(float(bucket_cap)))
+    quota = F.when(
+        F.col("crawl_delay") > 0, F.floor(F.col("tokens"))
+    ).otherwise(F.lit(unlimited_quota))
+    return host_state.withColumn("tokens", tokens).withColumn("quota", quota)
+
+
+def spend_tokens(host_state: DataFrame, emitted: DataFrame) -> DataFrame:
+    """tokens -= emitted_count; budget_used += emitted_count.
+
+    *emitted*: (host, emitted_count) from this wave's scheduled set.
+    """
+    return (
+        host_state.join(F.broadcast(emitted), "host", "left")
+        .withColumn(
+            "tokens",
+            F.when(
+                F.col("crawl_delay") > 0,
+                F.col("tokens") - F.coalesce(F.col("emitted_count"), F.lit(0)),
+            ).otherwise(F.col("tokens")),
+        )
+        .withColumn(
+            "budget_used",
+            F.col("budget_used") + F.coalesce(F.col("emitted_count"), F.lit(0)),
+        )
+        .drop("emitted_count")
+    )

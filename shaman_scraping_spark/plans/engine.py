@@ -1,0 +1,335 @@
+"""CrawlEngine — the BSP wave loop (SURVEY.md §3.2 E1′/E2′).
+
+The reference's async main loop (pick URL under per-host delay → HTTP
+GET → archive → parse → enqueue; SURVEY.md §3.1, checkout empty §0)
+becomes a driver-side loop of pure DataFrame waves: each wave is one
+Spark DAG ending in atomic snapshot commits, so a killed job resumes
+mid-frontier with identical downstream ordering (BASELINE.json).
+
+Scale notes (the 100 TB design point):
+* per-wave state lives in snapshot tables, never in driver memory —
+  the only driver-side values are tiny scalars (row counts, wave no.);
+* every politeness join broadcasts the host dimension (hosts ≪ URLs);
+* the per-host quota cap bounds any host's scheduled rows per wave →
+  bounded partition width under the host-keyed window shuffle even for
+  hot domains (structural skew kill, SURVEY.md §4);
+* each wave reads back what it wrote (write-read barrier) so plan
+  lineage never grows across waves — the classic iterative-Spark trap;
+* `html:binary` (the fat column) is touched only downstream of the
+  fetch join and never carried into the frontier/seen tables.
+
+Crash model: per-table manifests commit atomically (TableIO); a wave
+is visible to resume only once the root `wave-complete` marker is
+renamed in, after all table commits.  A crash mid-wave leaves the
+previous marker → the wave re-runs idempotently (same inputs → same
+deterministic outputs → same files overwritten).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from shaman_scraping_spark.config import UNLIMITED_QUOTA, CrawlConfig
+from shaman_scraping_spark.functions.html import (
+    extract_links_udf, extract_text_udf, redirect_target_udf,
+)
+from shaman_scraping_spark.functions.url import with_url_columns
+from shaman_scraping_spark.io.tableio import TableIO
+from shaman_scraping_spark.operators.frontier import (
+    FRONTIER_COLS, SEEN_KEY, anti_join_seen, dedup_urls, merge_frontier,
+)
+from shaman_scraping_spark.operators.politeness import (
+    apply_robots_filter, build_host_state, refill_tokens, spend_tokens,
+)
+from shaman_scraping_spark.operators.topk import per_host_topk
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url_canon", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("host", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("discovery_ts", TimestampType()),
+    StructField("parent_canon", StringType()),
+    StructField("wave_discovered", IntegerType()),
+])
+
+
+def scope_predicate(config: CrawlConfig):
+    """The ShouldScrape-style rule set as one Catalyst predicate (op 11)."""
+    pred = F.lit(True)
+    if config.allowed_hosts is not None:
+        pred = pred & F.col("host").isin(*config.allowed_hosts)
+    if config.include_regex:
+        pred = pred & F.col("url_canon").rlike(config.include_regex)
+    if config.exclude_regex:
+        pred = pred & ~F.col("url_canon").rlike(config.exclude_regex)
+    pred = pred & (F.col("depth") <= F.lit(config.max_depth))
+    return pred
+
+
+class CrawlEngine:
+    """Drive a crawl over a pages corpus (parquet dir or DataFrame)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        pages_path: str,
+        state_dir: str,
+        record_emission: bool = True,
+    ):
+        self.spark = spark
+        self.config = config
+        self.io = TableIO(spark, state_dir)
+        self.state_dir = Path(state_dir)
+        self.record_emission = record_emission
+        # corpus: canonicalized once; duplicate canonical rows are
+        # collapsed (earliest capture wins) so the fetch join is 1:1.
+        raw = spark.read.parquet(pages_path)
+        pages = with_url_columns(raw).withColumn("depth", F.lit(0)) \
+            .withColumn("discovery_ts", F.col("warc_ts")) \
+            .withColumn("parent_canon", F.col("url"))
+        self.pages = dedup_urls(pages).drop("depth", "discovery_ts",
+                                            "parent_canon")
+
+    # --- wave-complete marker (cross-table atomicity) -----------------------
+
+    def _marker_path(self) -> Path:
+        return self.state_dir / "wave-complete.json"
+
+    def _mark_complete(self, wave: int) -> None:
+        tmp = self._marker_path().with_suffix(".tmp")
+        tmp.write_text(json.dumps({"wave": wave}))
+        os.rename(tmp, self._marker_path())
+
+    def last_complete_wave(self) -> int | None:
+        p = self._marker_path()
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())["wave"]
+
+    # --- initialization -----------------------------------------------------
+
+    def init_state(self) -> None:
+        """Wave 0 frontier from seeds; empty seen/host_state."""
+        cfg = self.config
+        seeds = self.spark.createDataFrame(
+            [(u,) for u in cfg.seeds], "url string"
+        )
+        frontier = (
+            with_url_columns(seeds)
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_ts", F.lit(cfg.t0))
+            .withColumn("parent_canon", F.lit(None).cast("string"))
+            .withColumn("wave_discovered", F.lit(0))
+        )
+        frontier = dedup_urls(frontier).filter(scope_predicate(cfg))
+        self.io.commit("frontier", frontier.select(*FRONTIER_COLS), wave=0)
+        empty_seen = self.spark.createDataFrame(
+            [], "url_hash long, url_canon string"
+        )
+        self.io.commit("seen", empty_seen, wave=0)
+        empty_hs = self.spark.createDataFrame(
+            [],
+            "host string, rules array<struct<allow:boolean,prefix:string>>, "
+            "crawl_delay double, tokens double, budget_used long",
+        )
+        self.io.commit("host_state", empty_hs, wave=0)
+        self._mark_complete(-1)  # no wave executed yet; wave 0 inputs ready
+
+    # --- one wave -----------------------------------------------------------
+
+    def run_wave(self, wave: int) -> int:
+        """Execute wave *wave*; returns number of URLs scheduled."""
+        cfg = self.config
+        spark = self.spark
+        frontier = self.io.load("frontier", wave)
+        seen = self.io.load("seen", wave)
+        host_state = self.io.load("host_state", wave)
+
+        if frontier.isEmpty():
+            self._commit_empty(wave, seen, host_state)
+            return 0
+
+        # 1. extend host_state with newly-discovered hosts (robots fetch
+        #    is out-of-band: no quota cost, not in the emission log)
+        hosts = frontier.select("host").distinct()
+        new_hosts = hosts.join(host_state.select("host"), "host", "left_anti")
+        new_state = build_host_state(
+            self.pages, new_hosts, cfg.default_crawl_delay
+        ).withColumn("tokens", F.lit(0.0)).withColumn(
+            "budget_used", F.lit(0).cast("long")
+        )
+        host_state = host_state.unionByName(new_state)
+        host_state = refill_tokens(
+            host_state, cfg.wave_seconds, cfg.bucket_cap, UNLIMITED_QUOTA
+        )
+        if cfg.max_pages_per_host is not None:
+            host_state = host_state.withColumn(
+                "quota",
+                F.least(
+                    F.col("quota"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.lit(cfg.max_pages_per_host) - F.col("budget_used"),
+                    ),
+                ),
+            )
+
+        # 2. robots gate → 3. per-host top-k under quota
+        fr = apply_robots_filter(frontier, host_state)
+        blocked = fr.filter(~F.col("allowed"))
+        eligible = fr.filter(F.col("allowed")).join(
+            F.broadcast(host_state.select("host", "quota")), "host"
+        )
+        ranked = per_host_topk(eligible, "quota").persist()
+        scheduled = ranked.filter(F.col("scheduled"))
+        remaining = ranked.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
+
+        # 4. fetch join against the corpus (misses → 404, no requeue)
+        pages_min = self.pages.select(
+            F.col("url_canon"), F.col("warc_ts"), F.col("html"),
+            F.col("lang").alias("page_lang"),
+        )
+        fetch_ts = cfg.t0 + timedelta(seconds=wave * cfg.wave_seconds)
+        fetched = (
+            scheduled.select("url_canon", "url_hash", "host", "depth")
+            .join(pages_min, "url_canon", "left")
+            .withColumn("redirect_to", redirect_target_udf("html", "url_canon"))
+            .withColumn(
+                "status",
+                F.when(F.col("html").isNull(), F.lit(404))
+                .when(F.col("redirect_to").isNotNull(), F.lit(302))
+                .otherwise(F.lit(200)),
+            )
+            .withColumn("text", F.when(F.col("status") == 200,
+                                       extract_text_udf("html")))
+            .withColumn("wave", F.lit(wave))
+            .withColumn("fetch_ts", F.lit(fetch_ts))
+            .persist()
+        )
+
+        # 5. link discovery: a[href] from 200s + redirect targets
+        links_200 = fetched.filter(F.col("status") == 200).select(
+            F.col("url_canon").alias("parent_canon"),
+            F.col("depth").alias("parent_depth"),
+            F.explode(extract_links_udf("html", "url_canon")).alias("url"),
+        )
+        links_302 = fetched.filter(F.col("status") == 302).select(
+            F.col("url_canon").alias("parent_canon"),
+            F.col("depth").alias("parent_depth"),
+            F.col("redirect_to").alias("url"),
+        )
+        discovery_ts = cfg.t0 + timedelta(seconds=(wave + 1) * cfg.wave_seconds)
+        new_links = (
+            with_url_columns(links_200.unionByName(links_302))
+            .withColumn("depth", F.col("parent_depth") + 1)
+            .withColumn("discovery_ts", F.lit(discovery_ts))
+            .withColumn("wave_discovered", F.lit(wave + 1))
+            .filter(scope_predicate(cfg))
+            .select(*FRONTIER_COLS)
+        )
+
+        # 6. state updates
+        seen_next = (
+            seen.unionByName(scheduled.select(*SEEN_KEY))
+            .unionByName(blocked.select(*SEEN_KEY))
+            .distinct()
+        )
+        frontier_next = merge_frontier(remaining, new_links, seen_next)
+        emitted = scheduled.groupBy("host").agg(
+            F.count("*").alias("emitted_count")
+        )
+        host_state_next = spend_tokens(
+            host_state.drop("quota"), emitted
+        ).select("host", "rules", "crawl_delay", "tokens", "budget_used")
+
+        # 7. lineage: per-partition per-wave rows (SURVEY.md §2A op 6)
+        lineage = fetched.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count("*").alias("urls_emitted"),
+            F.coalesce(F.sum(F.length("html")), F.lit(0)).alias("bytes_fetched"),
+        ).withColumn("wave", F.lit(wave))
+
+        # 8. per-wave quota log (golden_quota fixture)
+        quota_log = (
+            host_state.select("host", "quota")
+            .join(emitted, "host", "left")
+            .select(
+                "host", F.lit(wave).alias("wave"),
+                F.least(F.col("quota"),
+                        F.lit(UNLIMITED_QUOTA)).alias("quota"),
+                F.coalesce(F.col("emitted_count"), F.lit(0)).alias("emitted"),
+            )
+        )
+
+        # 9. commits — data tables first, marker last
+        n_scheduled = scheduled.count()
+        self.io.commit("fetched", fetched.drop("redirect_to"), wave,
+                       mode="append")
+        self.io.commit("lineage", lineage, wave, mode="append")
+        self.io.commit("quota_log", quota_log, wave, mode="append")
+        if self.record_emission:
+            # test/golden path only: the global rank forces a single
+            # window partition — the engine's hot path never needs it
+            emission = scheduled.withColumn(
+                "emit_rank",
+                F.row_number().over(
+                    Window.orderBy("depth", "discovery_ts", "url_canon")
+                ),
+            ).select(
+                F.lit(wave).alias("wave"), "emit_rank",
+                F.col("url_canon").alias("url"), "depth", "host",
+            )
+            self.io.commit("emission", emission, wave, mode="append")
+        self.io.commit("seen", seen_next, wave + 1)
+        self.io.commit("frontier", frontier_next, wave + 1)
+        self.io.commit("host_state", host_state_next, wave + 1)
+        self._mark_complete(wave)
+        ranked.unpersist()
+        fetched.unpersist()
+        return n_scheduled
+
+    def _commit_empty(self, wave: int, seen: DataFrame,
+                      host_state: DataFrame) -> None:
+        """Frontier drained: carry state forward so resume stays valid."""
+        self.io.commit("seen", seen, wave + 1)
+        self.io.commit(
+            "frontier",
+            self.spark.createDataFrame([], FRONTIER_SCHEMA),
+            wave + 1,
+        )
+        self.io.commit("host_state", host_state, wave + 1)
+        self._mark_complete(wave)
+
+    # --- full run / resume --------------------------------------------------
+
+    def run(self, resume: bool = False) -> int:
+        """Run to frontier-drain or max_waves; returns waves executed.
+
+        resume=True continues after the last complete wave (op 5).
+        """
+        if resume and self.last_complete_wave() is not None:
+            start = self.last_complete_wave() + 1
+        else:
+            self.init_state()
+            start = 0
+        waves_run = 0
+        for w in range(start, self.config.max_waves):
+            n = self.run_wave(w)
+            waves_run += 1
+            if n == 0:
+                frontier = self.io.load("frontier", w + 1)
+                if frontier.isEmpty():
+                    break
+        return waves_run
