@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship frontier-scheduling pipeline over sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per SQL-expressible
+operator from SURVEY.md §2 plus the training-data suite; bodies live
+in ``shaman_scraping_spark.driver_queries`` (each callable documents
+which operator it exercises).  Ops without a DuckDB mirror (xxhash64
+keying, MinHash/SimHash/LSH) are rows-only by oracle omission.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shaman_scraping_spark.driver_queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier-scheduling analytics over sf0.001.
+
+    Treats events as a discovery stream (user_id ≙ host, event ≙ URL):
+    dedup → seen anti-join → per-host quota top-k → wave stats — the
+    crawl engine's scheduling core (SURVEY.md §2 ops 13/14/16/29) in
+    one plan.
+    """
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    seen = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    dedup_w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    frontier = (
+        events.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .join(seen.select("event_id"), "event_id", "left_anti")
+    )
+    rank_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scheduled = frontier.withColumn(
+        "host_rank", F.row_number().over(rank_w)
+    ).filter(F.col("host_rank") <= 5)
+    return (
+        scheduled.groupBy("event_type")
+        .agg(
+            F.count("*").alias("urls_emitted"),
+            F.round(F.sum("value"), 4).alias("bytes_fetched"),
+            F.countDistinct("user_id").alias("n_hosts"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,559 @@
+"""Driver-contract queries: every SQL-expressible operator from
+SURVEY.md §2 (✔ rows) + the training-data-pipeline suite, each as a
+(spark, sf_dir) → DataFrame callable with a matching DuckDB oracle.
+
+The crawl-native operators run on the driver's TPC-H-ish views as
+*analogues* (per SURVEY.md §5.4): per-host top-k ≙ per-user top-k over
+events, seen anti-join ≙ customers∖orders, etc.  Column aliases match
+the oracle SQL exactly (the driver hash-compares by sorted column
+name).  Ops that DuckDB cannot mirror (xxhash64 keying, MinHash/
+SimHash, LSH ANN) return DataFrames without an oracle → rows-only
+checks, flagged in __spark_entry__.oracle_sql() by omission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shaman_scraping_spark.functions.text import quality_features
+from shaman_scraping_spark.operators.dedup import (
+    minhash_neardup_pairs, ngram_jaccard_pairs, simhash64,
+)
+from shaman_scraping_spark.operators.similarity import (
+    cosine_topk, l2_norm, lsh_cosine_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2B — projections / filters / URL algebra analogues
+# ---------------------------------------------------------------------------
+
+def q_scope_filter(spark, sf):
+    """Op 11: Catalyst scope predicates (pushdown-friendly)."""
+    return (
+        _t(spark, sf, "documents")
+        .filter(
+            (F.col("n_chars") >= 200) & (F.col("n_chars") <= 400)
+            & (F.col("lang") == "en")
+            & F.col("source").startswith("src1")
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def q_host_extract(spark, sf):
+    """Op 10 analogue: split_part host derivation + group count."""
+    return (
+        _t(spark, sf, "documents")
+        .withColumn(
+            "host",
+            F.concat(F.lit("host"),
+                     F.split_part(F.col("source"), F.lit("src"), F.lit(2)),
+                     F.lit(".example")),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_canon_sort_key(spark, sf):
+    """Op 8 analogue: the split → sort → join canonicalization primitive."""
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.array_join(F.array_sort(toks), " ").alias("canon_key"),
+    )
+
+
+def q_url_hash64(spark, sf):
+    """Op 9: xxhash64 keying (no DuckDB equivalent → rows-only)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.xxhash64(F.col("text")).alias("url_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2C — joins / ordering / scheduling analogues
+# ---------------------------------------------------------------------------
+
+def q_anti_join_seen(spark, sf):
+    """Op 13: exact seen-set anti-join ≙ customers with no urgent order."""
+    cust = _t(spark, sf, "customer")
+    seen = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(seen, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_dedup_first(spark, sf):
+    """Op 14: deterministic in-wave dedup ≙ first event per user."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def q_per_host_topk(spark, sf):
+    """Op 16: per-host politeness top-k ≙ 3 earliest events per user."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").alias("host_rank"))
+    )
+
+
+def q_priority_rank(spark, sf):
+    """Op 15: total priority order (ts, event_id) — first 100 emissions."""
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf, "events")
+        .withColumn("emit_rank", F.row_number().over(w))
+        .filter(F.col("emit_rank") <= 100)
+        .select("emit_rank", "event_id")
+    )
+
+
+def q_frontier_merge(spark, sf):
+    """Op 21: (A ∪ B) ∖ seen with dedup ≙ two order slices minus a
+    'seen' customer set, one row per order."""
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_totalprice") > 200000.0)
+    seen = _t(spark, sf, "customer").filter(F.col("c_acctbal") < 0.0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    merged = a.unionByName(b).join(seen, "o_custkey", "left_anti")
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("o_orderdate").asc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_token_refill(spark, sf):
+    """Op 17: token-bucket arithmetic ≙ per-user refill from event count."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn(
+            "tokens",
+            F.least(F.lit(100.0), F.col("n_events").cast("double") * 2.5),
+        )
+        .withColumn("quota", F.floor(F.col("tokens")))
+        .select("user_id", "tokens", "quota")
+    )
+
+
+def q_redirect_hops(spark, sf):
+    """Op 20: bounded self-join ≙ consecutive order pairs per customer."""
+    o1 = _t(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    o2 = _t(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    return (
+        o1.join(o2, "o_custkey")
+        .filter(F.col("d2") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hops"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2E — aggregations / metrics
+# ---------------------------------------------------------------------------
+
+def q_lineage_agg(spark, sf):
+    """Op 29: lineage rollup ≙ count + bytes per event_type."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("urls_emitted"),
+            F.round(F.sum("value"), 4).alias("bytes_fetched"),
+        )
+    )
+
+
+def q_stats_cube(spark, sf):
+    """Op 30: crawl-stats CUBE ≙ cube(status, priority) over orders."""
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_topk_hosts(spark, sf):
+    """Op 32: hot-host skew probe ≙ top-5 sources by doc count."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("source").asc())
+        .limit(5)
+    )
+
+
+def q_distinct_urls(spark, sf):
+    """Op 31: seen-set cardinality (exact)."""
+    return _t(spark, sf, "documents").agg(
+        F.countDistinct("source").alias("n_distinct_sources"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_window_metrics(spark, sf):
+    """Op 39 batch analogue: tumbling-window counts per hour."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_json_props(spark, sf):
+    """Op 28: JSON property access + rollup."""
+    return (
+        _t(spark, sf, "events")
+        .withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline suite
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup: keeper doc per (lang, first word) bucket."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "word1", F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    )
+    w = Window.partitionBy("lang", "word1").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "word1", F.col("doc_id").alias("keeper"))
+    )
+
+
+def q_token_count(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+def q_quality_score(spark, sf):
+    feats = quality_features("text")
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q_lang_score(spark, sf):
+    """Language-ID analogue with a SQL-mirrorable scorer: count 'the'
+    occurrences as a token (the full profile-vote lang_id() is
+    pytest-covered on the crawl corpus, where vocab differs by lang)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t == F.lit("the")))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        hits.alias("en_hits"),
+        F.when(hits > 0, F.lit("en-ish")).otherwise(F.lit("other"))
+        .alias("guess"),
+    )
+
+
+def q_minhash_neardup(spark, sf):
+    """MinHash+LSH near-dup candidates (rows-only; xxhash64-based)."""
+    return minhash_neardup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_perm=16, bands=4, threshold=0.5,
+    )
+
+
+def q_simhash(spark, sf):
+    """SimHash fingerprints (rows-only; xxhash64-based)."""
+    return simhash64(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact 5-gram Jaccard pairs over same-source docs, j ≥ 0.2."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        k=5, threshold=0.2, group_col="source",
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 for one query vector (ids+rank only —
+    float sims differ across engines in the last ulp)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, q, k=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank"
+    )
+
+
+def q_ann_lsh(spark, sf):
+    """LSH-bucketed approximate ANN (rows-only; hyperplane seed 42)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, q, k=5, dim=64).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank"
+    )
+
+
+def q_embedding_norm(spark, sf):
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", F.round(l2_norm(F.col("embedding")), 3).alias("l2")
+    )
+
+
+QUERIES = {
+    "scope_filter": q_scope_filter,
+    "host_extract": q_host_extract,
+    "canon_sort_key": q_canon_sort_key,
+    "url_hash64": q_url_hash64,
+    "anti_join_seen": q_anti_join_seen,
+    "dedup_first": q_dedup_first,
+    "per_host_topk": q_per_host_topk,
+    "priority_rank": q_priority_rank,
+    "frontier_merge": q_frontier_merge,
+    "token_refill": q_token_refill,
+    "redirect_hops": q_redirect_hops,
+    "lineage_agg": q_lineage_agg,
+    "stats_cube": q_stats_cube,
+    "topk_hosts": q_topk_hosts,
+    "distinct_urls": q_distinct_urls,
+    "window_metrics": q_window_metrics,
+    "json_props": q_json_props,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_score": q_lang_score,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "embedding_norm": q_embedding_norm,
+}
+
+ORACLES = {
+    "scope_filter": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars BETWEEN 200 AND 400 AND lang = 'en'
+          AND source LIKE 'src1%'
+    """,
+    "host_extract": """
+        SELECT 'host' || split_part(source, 'src', 2) || '.example' AS host,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "canon_sort_key": """
+        SELECT doc_id,
+               array_to_string(list_sort(string_split(text, ' ')[1:5]), ' ')
+                   AS canon_key
+        FROM documents
+    """,
+    "anti_join_seen": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    "dedup_first": """
+        SELECT user_id, event_id, ts FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) = 1
+    """,
+    "per_host_topk": """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS host_rank
+        FROM events
+        QUALIFY host_rank <= 3
+    """,
+    "priority_rank": """
+        SELECT emit_rank, event_id FROM (
+          SELECT row_number() OVER (ORDER BY ts, event_id) AS emit_rank,
+                 event_id
+          FROM events
+        ) WHERE emit_rank <= 100
+    """,
+    "frontier_merge": """
+        WITH merged AS (
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT * FROM orders WHERE o_totalprice > 200000.0
+        ), unseen AS (
+          SELECT * FROM merged
+          WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+        )
+        SELECT o_orderkey, o_custkey FROM unseen
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY o_orderdate) = 1
+    """,
+    "token_refill": """
+        SELECT user_id,
+               least(100.0, CAST(count(*) AS DOUBLE) * 2.5) AS tokens,
+               CAST(floor(least(100.0, CAST(count(*) AS DOUBLE) * 2.5))
+                    AS BIGINT) AS quota
+        FROM events GROUP BY user_id
+    """,
+    "redirect_hops": """
+        SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_hops
+        FROM orders o1 JOIN orders o2
+          ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate > o1.o_orderdate
+        GROUP BY o1.o_custkey
+    """,
+    "lineage_agg": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS urls_emitted,
+               round(CAST(sum(value) AS DOUBLE), 4) AS bytes_fetched
+        FROM events GROUP BY event_type
+    """,
+    "stats_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "topk_hosts": """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+        ORDER BY n_docs DESC, source ASC LIMIT 5
+    """,
+    "distinct_urls": """
+        SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_sources,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents
+    """,
+    "window_metrics": """
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "json_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "exact_dedup": """
+        SELECT lang, split_part(text, ' ', 1) AS word1,
+               min(doc_id) AS keeper
+        FROM documents GROUP BY lang, word1
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   AS n_tokens
+        FROM documents
+    """,
+    "quality_score": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   AS n_tokens,
+               round(CAST(length(text) AS DOUBLE)
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     4) AS mean_token_len,
+               round(CAST(len(list_filter(string_split_regex(trim(text),
+                         '\\s+'),
+                         t -> list_contains(['the','over','lazy','quick',
+                                             'jumps'], t))) AS DOUBLE)
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     4) AS stopword_ratio
+        FROM documents
+    """,
+    "lang_score": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    t -> t = 'the')) AS INT) AS en_hits,
+               CASE WHEN len(list_filter(string_split_regex(trim(text),
+                        '\\s+'), t -> t = 'the')) > 0
+                    THEN 'en-ish' ELSE 'other' END AS guess
+        FROM documents
+    """,
+    "ngram_jaccard": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, source,
+                 array_to_string(toks[i:i+4], ' ') AS shingle
+          FROM (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+          ), unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS g(i)
+        ), sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source = b.source
+               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT 0 AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(e.embedding, q.qv) AS sim
+          FROM embeddings e, q WHERE e.vec_id <> 0
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, neighbor_id)
+                    AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+    "embedding_norm": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3)
+                   AS l2
+        FROM embeddings
+    """,
+}

@@ -66,7 +66,10 @@ class TableIO:
         df.write.mode("overwrite").parquet(str(data_dir))
 
         if mode == "append":
-            prev = self.read_manifest(table)
+            # chain from the newest manifest *strictly before* this wave —
+            # never "latest" — so an idempotent re-run of a crashed wave
+            # overwrites its own delta instead of double-appending it
+            prev = self._newest_manifest_before(table, wave)
             dirs = (prev["data_dirs"] if prev else []) + [data_dir.name]
         else:
             dirs = [data_dir.name]
@@ -81,6 +84,14 @@ class TableIO:
         }
         self._atomic_write_json(self._manifest_path(table, wave), manifest)
         self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
+
+    def _newest_manifest_before(self, table: str, wave: int) -> dict | None:
+        waves = sorted(
+            int(p.stem.split("-")[1])
+            for p in self._tdir(table).glob("manifest-*.json")
+        )
+        prior = [w for w in waves if w < wave]
+        return self.read_manifest(table, prior[-1]) if prior else None
 
     @staticmethod
     def _atomic_write_json(path: Path, obj: dict) -> None:

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operators: brute-force cosine top-k as the
+exact baseline, plus a random-hyperplane LSH-bucketed variant as the
+scale path (candidates meet only inside a bucket — at 10^9 vectors the
+bucket join replaces the O(N·Q) scan).
+
+All vector math is native Catalyst (`zip_with` + `aggregate`,
+whole-stage codegen) — no Python, no UDF, no driver collect.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (JVM-side, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    *queries*: (query_id, embedding).  Queries are broadcast (Q ≪ N);
+    the scan over *vectors* is embarrassingly parallel, ranking is a
+    per-query window.  Output (query_id, vec_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        vectors.select(id_col, vec_col)
+        .join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", cosine(F.col(vec_col), F.col("__qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (driver-side tiny)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v·plane_i).  Pure Catalyst."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(x) for x in p]))
+        acc = acc.bitwiseOR(
+            F.when(proj >= 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return acc
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int,
+    dim: int, n_planes: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket
+    (multi-probe: exact bucket ∪ buckets at Hamming distance 1).
+
+    The scale path: bucket the corpus once (write-time at 10^9
+    vectors), then each query joins only its probe buckets.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = vectors.select(id_col, vec_col).withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), planes)
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("qbucket", lsh_bucket_col(F.col("__qv"), planes))
+    # multi-probe: query bucket + all single-bit flips
+    probes = q.select(
+        query_id_col, "__qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(min(n_planes, 62))
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", cosine(F.col(vec_col), F.col("__qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame, threshold: float = 0.95,
+    dim: int = 64, n_planes: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join.
+
+    Pairs meet only when their sign-LSH buckets match exactly; cosine
+    verifies.  Output (id_a, id_b, cosine_sim).  Recall note: exact-
+    bucket blocking trades recall for scale; raise recall by lowering
+    n_planes or adding banded repeats.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = vectors.select(id_col, vec_col).withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), planes)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine_sim",
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine_sim",
+        )
+    )

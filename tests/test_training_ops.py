@@ -1,0 +1,142 @@
+"""Training-data pipeline operators: dedup suite, similarity search,
+text analysis.  Functional checks with planted ground truth (the
+DuckDB-oracle equivalence runs separately via tools/check_oracles.py
+and the driver's CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaman_scraping_spark.functions.text import lang_id, quality_features
+from shaman_scraping_spark.operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_neardup_pairs,
+)
+from shaman_scraping_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    near = base.replace("tonight", "today")          # near-dup of 0
+    far = "completely different words about spark engines and crawling"
+    rows = [
+        (0, base), (1, near), (2, far),
+        (3, base),                                    # exact dup of 0
+        (4, "der schnelle braune fuchs springt über den faulen hund"),
+        (5, "le rapide renard brun saute par dessus le chien paresseux"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 3 not in ids and len(ids) == 5
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = minhash_neardup_pairs(
+        docs, "doc_id", num_perm=32, bands=8, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got            # exact dup: jaccard 1.0
+    assert (0, 1) in got or (1, 3) in got   # near dup found
+    assert all({a, b} != {0, 2} for a, b in got)  # unrelated never pairs
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id").collect()}
+    assert sh[0] == sh[3]                      # identical text → same hash
+    ham_near = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_neardup_pairs(docs):
+    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got
+    assert all({a, b} != {0, 2} for a, b in got)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", k=3).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    assert 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_lang_id(spark, docs):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", lang_id("text").alias("lang")).collect()
+    }
+    assert got[0] == "en" and got[4] == "de" and got[5] == "fr"
+
+
+def test_quality_features(docs):
+    feats = quality_features("text")
+    row = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(*[v.alias(k) for k, v in feats.items()])
+        .collect()[0]
+    )
+    assert row["n_tokens"] == 19
+    assert row["n_chars"] > 80
+    assert 0.0 < row["stopword_ratio"] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # vec 100 = vec 0 scaled (cosine 1.0); vec 101 = slightly noised vec 0
+    base = rows[0][1]
+    rows.append((100, [2.0 * x for x in base]))
+    rows.append((101, [x + rng.gauss(0, 0.01) for x in base]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(vectors, q, k=2).collect()
+    assert [r["vec_id"] for r in top] == [100, 101]
+    assert top[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_ann_finds_planted_neighbors(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = lsh_cosine_topk(vectors, q, k=2, dim=16, n_planes=8).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 100 in ids and 101 in ids
+
+
+def test_embedding_neardup(vectors):
+    pairs = embedding_neardup_pairs(
+        vectors, threshold=0.99, dim=16, n_planes=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in got and (0, 101) in got
