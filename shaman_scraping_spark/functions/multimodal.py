@@ -1,0 +1,194 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched operators.
+
+Spark-side plumbing (schema, partitioning, UDF signatures, batch
+shapes) is real and tested; the actual codec step is STUBBED — the
+sandbox ships no image/audio libraries, so ``decode_image`` tries
+PIL/numpy first and otherwise falls back to a **deterministic fake
+codec** over the synthetic payload format below (or raises
+``NotImplementedError`` for foreign payloads).  Swapping in a real
+codec on a cluster touches only the two marked functions.
+
+Synthetic payload format (written by :func:`fake_media_payload`):
+  magic bytes of the claimed container (jpeg/png/wav/mp4) + b"FAKE" +
+  width:uint16 + height:uint16 + channels:uint8 + body bytes.
+
+Media table contract::
+
+  doc_id: long, media_type: string,           # image | audio | video
+  content: binary,
+  meta: struct<width:int, height:int, duration_s:double, mime:string>
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, content binary, "
+    "meta struct<width:int, height:int, duration_s:double, mime:string>"
+)
+
+_MAGIC = {
+    "jpeg": b"\xff\xd8\xff",
+    "png": b"\x89PNG\r\n\x1a\n",
+    "gif": b"GIF89a",
+    "wav": b"RIFF",
+    "mp4": b"\x00\x00\x00\x18ftyp",
+}
+
+
+# --- container sniffing: native Catalyst (no Python) ------------------------
+
+def sniff_format(content: Column) -> Column:
+    """Container format from magic bytes — pure Catalyst over binary."""
+    out = F.lit("unknown")
+    for name, magic in reversed(list(_MAGIC.items())):
+        out = F.when(
+            F.substring(content, 1, len(magic)) == F.lit(magic), F.lit(name)
+        ).otherwise(out)
+    return out
+
+
+def media_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Byte-level features, all JVM-side: size, sniffed container,
+    64-bit content fingerprint."""
+    c = F.col(content_col)
+    return df.withColumn("n_bytes", F.length(c)) \
+        .withColumn("container", sniff_format(c)) \
+        .withColumn("content_hash", F.xxhash64(c))
+
+
+# --- fake codec (deterministic stand-in; see module doc) --------------------
+
+def fake_media_payload(
+    fmt: str, width: int, height: int, channels: int = 3,
+    body: bytes = b"",
+) -> bytes:
+    magic = _MAGIC[fmt]
+    return magic + b"FAKE" + struct.pack("<HHB", width, height, channels) + body
+
+
+def _decode_fake(raw: bytes) -> tuple[int, int, int]:
+    """STUB decode — replace with PIL.Image.open on a real cluster."""
+    for magic in _MAGIC.values():
+        if raw.startswith(magic) and raw[len(magic):len(magic) + 4] == b"FAKE":
+            w, h, c = struct.unpack_from("<HHB", raw, len(magic) + 4)
+            return w, h, c
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg (unavailable in sandbox); "
+        "payload is not in the deterministic fake format"
+    )
+
+
+def _try_real_decoder():
+    try:  # pragma: no cover - PIL absent in sandbox
+        from PIL import Image  # noqa: F401
+        return Image
+    except ImportError:
+        return None
+
+
+# --- Arrow-batched operators ------------------------------------------------
+
+def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode → (width, height, channels) via mapInPandas.
+
+    Batch shape: one pandas DataFrame per Arrow batch; binary column
+    arrives as bytes objects.  PIL if importable, else the fake codec.
+    """
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, width int, height int, channels int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _try_real_decoder()
+        for pdf in batches:
+            ws, hs, cs = [], [], []
+            for raw in pdf[content_col]:
+                if pil is not None:  # pragma: no cover
+                    import io
+                    try:
+                        im = pil.open(io.BytesIO(raw))
+                        ws.append(im.width); hs.append(im.height)
+                        cs.append(len(im.getbands()))
+                        continue
+                    except Exception:  # noqa: BLE001
+                        pass
+                w, h, c = _decode_fake(raw)
+                ws.append(w); hs.append(h); cs.append(c)
+            pdf = pdf.copy()
+            pdf["width"] = pd.array(ws, dtype="int32")
+            pdf["height"] = pd.array(hs, dtype="int32")
+            pdf["channels"] = pd.array(cs, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def resize_image(
+    df: DataFrame, target_w: int, target_h: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize: real plumbing, stub transform (rewrites the fake header
+    with the target dims; PIL path would re-encode)."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf[content_col]:
+                _w, _h, c = _decode_fake(raw)
+                fmt = next(
+                    n for n, m in _MAGIC.items() if raw.startswith(m)
+                )
+                out.append(fake_media_payload(fmt, target_w, target_h, c))
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(fn, fields)
+
+
+def sample_video_frames(
+    df: DataFrame, every_s: float = 1.0,
+    content_col: str = "content", id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling: fan-out one row per sampled frame (explode-style
+    via mapInPandas so the decoder state stays batch-local).
+
+    Stub: duration comes from meta.duration_s; frames are fake payloads
+    stamped with the frame index.  Real path: ffmpeg/pyav per batch.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, times, frames = [], [], []
+            for _, row in pdf.iterrows():
+                dur = row["meta"]["duration_s"] or 0.0
+                w, h, c = _decode_fake(row[content_col])
+                t = 0.0
+                idx = 0
+                while t < dur:
+                    ids.append(row[id_col])
+                    times.append(t)
+                    frames.append(
+                        fake_media_payload(
+                            "png", w, h, c, body=struct.pack("<I", idx)
+                        )
+                    )
+                    t += every_s
+                    idx += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_ts": times, "frame": frames}
+            )
+
+    return df.mapInPandas(fn, "doc_id long, frame_ts double, frame binary")

@@ -1,0 +1,208 @@
+"""WARC archive source/sink — SURVEY.md §2A ops 3–4.
+
+The reference persists every capture as WARC records with a sidecar
+index for random access (WarcItem-style; checkout empty, SURVEY.md §0
+— format per ISO 28500 / WARC 1.0).  Spark mapping:
+
+* **read**: ``spark.read.format('binaryFile')`` over ``*.warc(.gz)``
+  → ``mapInArrow`` record splitter (pure Python stdlib — no warcio in
+  the sandbox) → one row per record ``(warc_file, url, warc_ts,
+  record_type, http_status, content_type, payload)``.  Each WARC file
+  parses independently inside one task → embarrassingly parallel over
+  an archive directory; compressed archives use the standard
+  one-gzip-member-per-record layout, so splitting is a stream scan.
+* **write**: serialize fetched rows back to spec-conformant WARC bytes
+  (the fixture generator and the archive-sink path share this).
+
+Robustness contract (golden-tested): truncated trailing records are
+dropped, non-response records pass through with null http fields,
+mixed plain/gzip inputs auto-detect via magic bytes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_ROW_SCHEMA = (
+    "warc_file string, url string, warc_ts timestamp, record_type string, "
+    "http_status int, content_type string, payload binary"
+)
+
+_CRLF = b"\r\n"
+
+
+# --- pure-Python kernels (unit-testable without Spark) ----------------------
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.decode("latin-1").strip().lower()] = \
+                v.decode("latin-1").strip()
+    return headers
+
+
+def parse_warc_bytes(raw: bytes, warc_file: str = "") -> list[dict]:
+    """Split one WARC file's bytes into record dicts (see module doc).
+
+    Tolerates: gzip (whole-file or per-record members), truncated final
+    record (dropped), records whose block is not an HTTP response.
+    """
+    if raw[:2] == b"\x1f\x8b":
+        buf = io.BytesIO(raw)
+        chunks = []
+        # one-member-per-record or single-member: GzipFile reads through
+        # consecutive members transparently
+        with gzip.GzipFile(fileobj=buf) as gz:
+            try:
+                chunks.append(gz.read())
+            except (EOFError, OSError):
+                pass
+        raw = b"".join(chunks)
+
+    out: list[dict] = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        start = raw.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = raw.find(_CRLF + _CRLF, start)
+        if hdr_end < 0:
+            break  # truncated header
+        headers = _parse_headers(raw[start:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        block_start = hdr_end + 4
+        block_end = block_start + length
+        if block_end > n:
+            break  # truncated record: drop
+        block = raw[block_start:block_end]
+        rec_type = headers.get("warc-type", "unknown")
+        url = headers.get("warc-target-uri")
+        ts = _parse_warc_date(headers.get("warc-date"))
+        http_status = None
+        content_type = headers.get("content-type")
+        payload = block
+        if rec_type == "response" and block[:5] in (b"HTTP/",):
+            http_end = block.find(_CRLF + _CRLF)
+            if http_end >= 0:
+                http_hdr = block[:http_end]
+                status_line = http_hdr.split(_CRLF, 1)[0]
+                parts = status_line.split(b" ")
+                if len(parts) >= 2 and parts[1].isdigit():
+                    http_status = int(parts[1])
+                hh = _parse_headers(http_hdr)
+                content_type = hh.get("content-type", content_type)
+                payload = block[http_end + 4:]
+        out.append(
+            {
+                "warc_file": warc_file,
+                "url": url,
+                "warc_ts": ts,
+                "record_type": rec_type,
+                "http_status": http_status,
+                "content_type": content_type,
+                "payload": payload,
+            }
+        )
+        pos = block_end
+    return out
+
+
+def _parse_warc_date(s: str | None):
+    if not s:
+        return None
+    try:
+        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
+    """Serialize records (url, warc_ts, payload, http_status,
+    content_type) to WARC 1.0 bytes; one gzip member per record when
+    compressed (the standard seekable layout)."""
+    out = io.BytesIO()
+    for r in records:
+        status = r.get("http_status", 200) or 200
+        ctype = r.get("content_type") or "text/html"
+        payload = r.get("payload") or b""
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("latin-1") + payload
+        ts = r.get("warc_ts")
+        date = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None else "2024-01-01T00:00:00Z"
+        )
+        hdr = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r.get('record_type', 'response')}\r\n"
+            f"WARC-Target-URI: {r.get('url', '')}\r\n"
+            f"WARC-Date: {date}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("latin-1")
+        rec = hdr + http + _CRLF + _CRLF
+        out.write(gzip.compress(rec) if compress else rec)
+    return out.getvalue()
+
+
+# --- Spark surface ----------------------------------------------------------
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive directory → record DataFrame (one row per record).
+
+    binaryFile scan (whole file per row — WARC files are the natural
+    split unit) → Arrow-batched splitter.  At scale: pathGlobFilter
+    keeps the scan lazy, and column pruning downstream of this source
+    drops payload early when not needed.
+    """
+    files = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.warc*").load(path) \
+        .select("path", "content")
+
+    def split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            contents = batch.column(1)
+            rows = {
+                "warc_file": [], "url": [], "warc_ts": [],
+                "record_type": [], "http_status": [], "content_type": [],
+                "payload": [],
+            }
+            for i, p in enumerate(paths):
+                raw = contents[i].as_py()
+                for rec in parse_warc_bytes(raw, warc_file=p):
+                    for k in rows:
+                        rows[k].append(rec[k])
+            if rows["warc_file"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(rows["warc_file"], type=pa.string()),
+                        pa.array(rows["url"], type=pa.string()),
+                        pa.array(rows["warc_ts"],
+                                 type=pa.timestamp("us", tz="UTC")),
+                        pa.array(rows["record_type"], type=pa.string()),
+                        pa.array(rows["http_status"], type=pa.int32()),
+                        pa.array(rows["content_type"], type=pa.string()),
+                        pa.array(rows["payload"], type=pa.binary()),
+                    ],
+                    list(rows.keys()),
+                )
+
+    return files.mapInArrow(split, WARC_ROW_SCHEMA)

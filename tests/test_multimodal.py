@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: schema, batch shapes, native sniffing,
+stubbed decode/resize/frame-sample (fake codec — see module doc)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaman_scraping_spark.functions.multimodal import (
+    decode_image_meta,
+    fake_media_payload,
+    media_stats,
+    resize_image,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", fake_media_payload("jpeg", 640, 480),
+         (640, 480, None, "image/jpeg")),
+        (2, "image", fake_media_payload("png", 32, 32, 4),
+         (32, 32, None, "image/png")),
+        (3, "audio", fake_media_payload("wav", 0, 0, 1),
+         (None, None, 2.5, "audio/wav")),
+        (4, "video", fake_media_payload("mp4", 1280, 720),
+         (1280, 720, 3.0, "video/mp4")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, content binary, "
+        "meta struct<width:int, height:int, duration_s:double, mime:string>",
+    )
+
+
+def test_native_format_sniff(media):
+    got = {
+        r["doc_id"]: r["container"]
+        for r in media_stats(media).select("doc_id", "container").collect()
+    }
+    assert got == {1: "jpeg", 2: "png", 3: "wav", 4: "mp4"}
+    plan = media_stats(media)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # sniffing is pure Catalyst
+
+
+def test_decode_image_meta(media):
+    out = decode_image_meta(media.filter(F.col("media_type") == "image"))
+    got = {r["doc_id"]: (r["width"], r["height"], r["channels"])
+           for r in out.collect()}
+    assert got == {1: (640, 480, 3), 2: (32, 32, 4)}
+    assert dict(out.dtypes)["width"] == "int"
+
+
+def test_decode_unknown_payload_raises(spark):
+    df = spark.createDataFrame(
+        [(9, "image", b"not-a-real-payload", None)],
+        "doc_id long, media_type string, content binary, "
+        "meta struct<width:int, height:int, duration_s:double, mime:string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_image_meta(df).collect()
+
+
+def test_resize_roundtrip(media):
+    out = resize_image(media.filter(F.col("doc_id") == 1), 100, 50)
+    dec = decode_image_meta(out).collect()[0]
+    assert (dec["width"], dec["height"]) == (100, 50)
+
+
+def test_video_frame_sampling(media):
+    frames = sample_video_frames(
+        media.filter(F.col("media_type") == "video"), every_s=1.0
+    ).collect()
+    assert len(frames) == 3                      # 3.0s at 1 fps
+    assert [r["frame_ts"] for r in frames] == [0.0, 1.0, 2.0]
+    assert all(r["frame"].startswith(b"\x89PNG") for r in frames)

@@ -1,0 +1,116 @@
+"""SURVEY.md §5.5 plan-shape assertions: the physical plans the engine
+relies on at 100 TB must actually materialize at any scale —
+column pruning of the fat html column, filter pushdown into parquet
+scans, broadcast of the host dimension, salted repartition, partial
+top-k, and the absence of row-at-a-time Python anywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaman_scraping_spark.operators.partitioning import (
+    host_skew_probe,
+    salted_host_partition,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_path(tiny_corpus_dir):
+    return str(tiny_corpus_dir / "pages.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_pruned_from_metadata_scan(spark, pages_path):
+    """Scheduling-side reads must never drag html:binary through the
+    scan (SURVEY.md §4 'never select(*) on pages')."""
+    df = spark.read.parquet(pages_path).select("url", "lang")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema
+    assert "url" in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    df = spark.read.parquet(pages_path).filter(
+        F.col("lang") == "en"
+    ).select("url")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "lang" in pushed
+
+
+def test_host_dimension_broadcasts(spark, pages_path):
+    """Politeness joins must broadcast the host dim, not shuffle the
+    frontier (SURVEY.md §4 join-strategy row)."""
+    from shaman_scraping_spark.functions.url import with_url_columns
+    from shaman_scraping_spark.operators.politeness import (
+        apply_robots_filter, build_host_state,
+    )
+
+    pages = with_url_columns(spark.read.parquet(pages_path))
+    hs = build_host_state(pages, pages.select("host"))
+    frontier = pages.select("url_canon", "url_hash", "host")
+    plan = _plan(apply_robots_filter(frontier, hs))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_partition_spreads_hosts(spark):
+    rows = [(f"host{i % 7}.example", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "host string, x int")
+    parted = salted_host_partition(df, 8)
+    sizes = (
+        parted.groupBy(F.spark_partition_id().alias("p"))
+        .count().collect()
+    )
+    assert len(sizes) > 1          # not collapsed into one partition
+    # same host always lands in the same partition
+    hp = (
+        parted.select("host", F.spark_partition_id().alias("p"))
+        .distinct().groupBy("host").count().collect()
+    )
+    assert all(r["count"] == 1 for r in hp)
+
+
+def test_topk_hosts_partial_topk_plan(spark, pages_path):
+    from shaman_scraping_spark.functions.url import with_url_columns
+
+    pages = with_url_columns(spark.read.parquet(pages_path))
+    df = host_skew_probe(pages, k=5)
+    assert "TakeOrderedAndProject" in _plan(df)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["n_urls"] >= rows[-1]["n_urls"]
+
+
+def test_no_batch_eval_python_anywhere_in_engine_wave(spark, pages_path):
+    """The whole wave prologue (canonicalize → robots → rank) compiles
+    to Catalyst + ArrowEval/MapInArrow only — per-row Python is banned
+    by BASELINE.json's input_hint."""
+    from shaman_scraping_spark.functions.url import with_url_columns
+    from shaman_scraping_spark.operators.politeness import (
+        apply_robots_filter, build_host_state, refill_tokens,
+    )
+    from shaman_scraping_spark.operators.topk import per_host_topk
+
+    pages = with_url_columns(spark.read.parquet(pages_path))
+    hs = build_host_state(pages, pages.select("host")).withColumn(
+        "tokens", F.lit(0.0)
+    ).withColumn("budget_used", F.lit(0).cast("long"))
+    hs = refill_tokens(hs, 10.0, 100.0, 10**9)
+    frontier = pages.select(
+        "url_canon", "url_hash", "host",
+        F.lit(0).alias("depth"), F.col("warc_ts").alias("discovery_ts"),
+    )
+    fr = apply_robots_filter(frontier, hs).filter(F.col("allowed"))
+    ranked = per_host_topk(fr.join(F.broadcast(hs.select("host", "quota")),
+                                   "host"), "quota")
+    plan = _plan(ranked)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan       # the robots pandas UDF
