@@ -1,0 +1,154 @@
+"""CLI — the spark-submit entry point (SURVEY.md §3.2 E1′).
+
+Mirrors the reference's command-line crawl surface (site/seed list,
+destination, rule knobs → run until drained; SURVEY.md §3.1 E1,
+checkout empty §0) as::
+
+  spark-submit --py-files shaman_scraping_spark.zip \
+      -m shaman_scraping_spark.cli crawl \
+      --pages /data/pages --seeds seeds.txt --state /data/crawl-state \
+      --waves 20 [--resume] [--allowed-hosts a.com,b.com] \
+      [--include-regex ...] [--exclude-regex ...] [--max-depth N]
+
+Subcommands: ``crawl`` (batch wave loop), ``stream`` (continuous
+micro-batch mode), ``stats`` (crawl-state report), ``gen-corpus``
+(synthetic corpus).  Local runs work without spark-submit:
+``python -m shaman_scraping_spark.cli crawl ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--pages", required=True, help="pages corpus parquet path")
+    p.add_argument("--seeds", required=True,
+                   help="seed URL file (one per line)")
+    p.add_argument("--state", required=True, help="crawl state directory")
+    p.add_argument("--waves", type=int, default=20)
+    p.add_argument("--max-depth", type=int, default=64)
+    p.add_argument("--wave-seconds", type=float, default=10.0)
+    p.add_argument("--allowed-hosts", default=None,
+                   help="comma-separated host allowlist")
+    p.add_argument("--include-regex", default=None)
+    p.add_argument("--exclude-regex", default=None)
+    p.add_argument("--max-pages-per-host", type=int, default=None)
+    p.add_argument("--master", default=None,
+                   help="override master URL (default: env/spark-submit)")
+    p.add_argument("--no-emission-log", action="store_true")
+
+
+def _config_from(args):
+    from shaman_scraping_spark.config import CrawlConfig
+
+    seeds = tuple(
+        u.strip() for u in Path(args.seeds).read_text().split() if u.strip()
+    )
+    return CrawlConfig(
+        seeds=seeds,
+        max_waves=args.waves,
+        max_depth=args.max_depth,
+        wave_seconds=args.wave_seconds,
+        allowed_hosts=(
+            tuple(args.allowed_hosts.split(","))
+            if args.allowed_hosts else None
+        ),
+        include_regex=args.include_regex,
+        exclude_regex=args.exclude_regex,
+        max_pages_per_host=args.max_pages_per_host,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="shaman_scraping_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_crawl = sub.add_parser("crawl", help="batch BSP wave crawl")
+    _add_common(p_crawl)
+    p_crawl.add_argument("--resume", action="store_true")
+
+    p_stream = sub.add_parser("stream", help="continuous streaming crawl")
+    _add_common(p_stream)
+    p_stream.add_argument("--idle-timeout", type=float, default=30.0)
+
+    p_stats = sub.add_parser("stats", help="report on a crawl state dir")
+    p_stats.add_argument("--state", required=True)
+    p_stats.add_argument("--master", default=None)
+
+    p_gen = sub.add_parser("gen-corpus", help="synthesize a pages corpus")
+    p_gen.add_argument("out_dir")
+    p_gen.add_argument("--pages", type=int, default=20_000)
+    p_gen.add_argument("--hosts", type=int, default=50)
+    p_gen.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from shaman_scraping_spark.corpus.generator import (
+            CorpusSpec, generate_corpus,
+        )
+        out = generate_corpus(
+            CorpusSpec(n_hosts=args.hosts, n_pages=args.pages,
+                       seed=args.seed)
+        ).write(args.out_dir)
+        print(f"wrote {out}")
+        return 0
+
+    from shaman_scraping_spark.session import get_spark
+
+    spark = get_spark("shaman-scraping-spark-cli", master=args.master)
+
+    if args.cmd == "stats":
+        from pyspark.sql import functions as F
+
+        from shaman_scraping_spark.io.tableio import TableIO
+
+        io = TableIO(spark, args.state)
+        for table in ("fetched", "lineage"):
+            df = io.load(table)
+            if df is None:
+                print(f"{table}: (absent)")
+                continue
+            if table == "fetched":
+                df.groupBy("status").count().orderBy("status").show()
+                df.groupBy("host").count().orderBy(
+                    F.desc("count")
+                ).limit(10).show(truncate=False)
+            else:
+                df.groupBy("wave").agg(
+                    F.sum("urls_emitted").alias("urls"),
+                    F.sum("bytes_fetched").alias("bytes"),
+                ).orderBy("wave").show()
+        return 0
+
+    cfg = _config_from(args)
+    if args.cmd == "crawl":
+        from shaman_scraping_spark.plans.engine import CrawlEngine
+
+        eng = CrawlEngine(
+            spark, cfg, args.pages, args.state,
+            record_emission=not args.no_emission_log,
+        )
+        waves = eng.run(resume=args.resume)
+        n = (eng.io.load("seen") or spark.range(0)).count()
+        print(f"crawl: {waves} waves run, seen-set size {n}")
+        return 0
+
+    if args.cmd == "stream":
+        from shaman_scraping_spark.streaming.crawl_stream import (
+            StreamingCrawl,
+        )
+
+        sc = StreamingCrawl(spark, cfg, args.pages, args.state)
+        sc.run(idle_timeout_s=args.idle_timeout)
+        print(f"stream: fetched {sc.fetched().count()} records")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -52,3 +52,9 @@ class CrawlConfig:
     t0: datetime = DEFAULT_T0
     shuffle_partitions: int | None = None
     host_salt: int = 42                    # salt for host-hash partitioning
+    # approximate seen-set prefilter before the exact anti-join
+    # (None | "bloom"); correctness never depends on it — the sketch
+    # has no false negatives and positives re-check exactly
+    seen_prefilter: str | None = None
+    bloom_bits: int = 1 << 23
+    bloom_hashes: int = 7

@@ -73,6 +73,7 @@ class CorpusSpec:
     cross_link_frac: float = 0.2
     variant_link_frac: float = 0.15
     paragraphs_per_page: int = 3
+    branching: int = 3          # link-tree fan-out per page
     crawl_delays: tuple = (0, 1, 5)
     langs: tuple = ("en", "de", "fr", "es")
     # fraction of hosts whose robots.txt disallows /private (rest allow all)
@@ -214,7 +215,9 @@ def generate_corpus(spec: CorpusSpec = CorpusSpec()) -> Corpus:
             warc_ts = BASE_TS.replace(second=0) + _ts_delta(ts_counter)
             is_redirect = j > 0 and rng.random() < spec.redirect_frac
             # children in this host's tree
-            children = [urls[c] for c in range(3 * j + 1, 3 * j + 4) if c < n]
+            b = spec.branching
+            children = [urls[c] for c in range(b * j + 1, b * j + b + 1)
+                        if c < n]
             links = list(children)
             if rng.random() < spec.cross_link_frac:
                 other = hosts[(i + 1 + rng.randrange(len(hosts) - 1)) % len(hosts)]

@@ -272,7 +272,41 @@ class CrawlEngine:
             blocked.select(*SEEN_KEY)
         )
         seen_next = seen.unionByName(seen_delta)
-        frontier_next = merge_frontier(remaining, new_links, seen_next)
+        if cfg.seen_prefilter == "bloom":
+            # op 12: cheap membership probe before the exact anti-join.
+            # Definitely-unseen links (no false negatives) skip the
+            # anti-join entirely; only maybe-seen rows pay for it.
+            # `remaining` rows are unseen by construction.  The delta
+            # folds in BEFORE probing — links rediscovering a URL
+            # scheduled this very wave must read as maybe-seen.
+            self._save_bloom(wave, seen_delta)
+            bloom = self._load_bloom(wave + 1)
+            from shaman_scraping_spark.operators.frontier import (
+                FRONTIER_COLS as _FC,
+            )
+            if bloom is not None:
+                from shaman_scraping_spark.operators.sketch import bloom_probe
+
+                probed = bloom_probe(
+                    new_links.select(*_FC), bloom
+                ).persist()
+                definite = probed.filter(~F.col("maybe_seen")).drop(
+                    "maybe_seen"
+                )
+                maybe = anti_join_seen(
+                    probed.filter(F.col("maybe_seen")).drop("maybe_seen"),
+                    seen_next,
+                )
+                frontier_next = dedup_urls(
+                    remaining.select(*_FC)
+                    .unionByName(definite)
+                    .unionByName(maybe)
+                )
+            else:
+                frontier_next = merge_frontier(remaining, new_links,
+                                               seen_next)
+        else:
+            frontier_next = merge_frontier(remaining, new_links, seen_next)
         # per-host emitted counts: collected driver-side (≤ #hosts rows)
         # so one action yields both the scheduled total and the
         # token-spend dimension
@@ -332,6 +366,43 @@ class CrawlEngine:
         ranked.unpersist()
         fetched.unpersist()
         return n_scheduled
+
+    # --- bloom prefilter state (op 12; flag-gated) --------------------------
+
+    def _bloom_path(self, wave: int) -> Path:
+        return self.state_dir / f"bloom-{wave:06d}.bin"
+
+    def _load_bloom(self, wave: int):
+        import numpy as np
+
+        from shaman_scraping_spark.operators.sketch import BloomFilter
+
+        p = self._bloom_path(wave)
+        if not p.exists():
+            return None
+        return BloomFilter(
+            np.frombuffer(p.read_bytes(), dtype=np.uint8),
+            self.config.bloom_bits, self.config.bloom_hashes,
+        )
+
+    def _save_bloom(self, wave: int, seen_delta: DataFrame) -> None:
+        """bits(wave+1) = bits(wave) | build(delta) — incremental, so
+        the filter never rebuilds over the full seen set."""
+        import numpy as np
+
+        from shaman_scraping_spark.operators.sketch import bloom_build
+
+        delta = bloom_build(
+            seen_delta, m_bits=self.config.bloom_bits,
+            k=self.config.bloom_hashes,
+        )
+        prev = self._load_bloom(wave)
+        bits = delta.bits if prev is None else np.bitwise_or(
+            prev.bits, delta.bits
+        )
+        tmp = self._bloom_path(wave + 1).with_suffix(".tmp")
+        tmp.write_bytes(bits.tobytes())
+        os.rename(tmp, self._bloom_path(wave + 1))
 
     def _commit_empty(self, wave: int, seen: DataFrame,
                       host_state: DataFrame) -> None:

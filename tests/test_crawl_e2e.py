@@ -117,6 +117,25 @@ def test_robots_respected(engine_run, tiny_corpus):
         assert robots_allowed(url_path_of(r["url_canon"]), rules), r
 
 
+def test_bloom_prefilter_identical_results(
+    spark, tiny_corpus_dir, config, sim, tmp_path_factory
+):
+    """Op 12 integration: the flag-gated bloom prefilter must not change
+    any output (no false negatives; positives re-check exactly)."""
+    state = tmp_path_factory.mktemp("crawl_state_bloom")
+    cfg = CrawlConfig(**{
+        **config.__dict__, "seen_prefilter": "bloom",
+        "bloom_bits": 1 << 18,
+    })
+    eng = CrawlEngine(
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
+    )
+    eng.run()
+    assert _engine_emissions(eng) == sorted(sim.emissions)
+    got = {r["url_canon"] for r in eng.io.load("seen").collect()}
+    assert got == sim.seen
+
+
 def test_resume_fidelity(spark, tiny_corpus_dir, config, sim, tmp_path_factory):
     """Kill after wave 2, resume → identical emission log + seen set."""
     state = tmp_path_factory.mktemp("crawl_state_resume")
