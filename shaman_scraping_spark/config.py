@@ -58,3 +58,14 @@ class CrawlConfig:
     seen_prefilter: str | None = None
     bloom_bits: int = 1 << 23
     bloom_hashes: int = 7
+    # archive payload bytes into the fetched table (the WARC-archive
+    # role).  False keeps only metadata + extracted text length —
+    # used by single-disk benchmarks where archive IO can't scale
+    # with cores the way per-executor storage does on a cluster.
+    archive_html: bool = True
+    # partition count of the canonical corpus cache.  Sized by DATA
+    # (≈ bytes/64MB), not by core count — every wave's fetch-join and
+    # extraction stages scan this cache, so an inflated count multiplies
+    # task-scheduling overhead into each of the ~10 jobs per wave.
+    # None → max(defaultParallelism, input splits).
+    pages_partitions: int | None = None

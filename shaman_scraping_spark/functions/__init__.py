@@ -9,3 +9,9 @@ from shaman_scraping_spark.functions.html import (  # noqa: F401
     extract_links_udf,
     redirect_target_udf,
 )
+from shaman_scraping_spark.functions.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)

@@ -124,5 +124,13 @@ class TableIO:
         paths = [str(self._tdir(table) / d) for d in m["data_dirs"]]
         return self.spark.read.parquet(*paths)
 
+    def load_delta(self, table: str, wave: int) -> DataFrame | None:
+        """Only the data written at *wave* (append tables' per-wave
+        slice) — the engine's write-read barrier reads this back."""
+        d = self._tdir(table) / f"data-{wave:06d}"
+        if not d.exists():
+            return None
+        return self.spark.read.parquet(str(d))
+
     def exists(self, table: str) -> bool:
         return self._latest_pointer(table).exists()

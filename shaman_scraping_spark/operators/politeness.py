@@ -105,6 +105,8 @@ def build_host_state(
     crawl_delay) with allow-all defaults for robots-less hosts.
     The caller broadcasts this into politeness joins.
     """
+    from pyspark.sql import Window
+
     robots_rows = pages.filter(
         F.col("url_canon").endswith("/robots.txt")
         & (
@@ -114,7 +116,16 @@ def build_host_state(
                 F.lit("://"), F.col("host"), F.lit("/robots.txt"),
             )
         )
-    ).select("host", "html")
+    ).select("host", "url_canon", "html")
+    # one robots row per host: if both http and https robots exist,
+    # prefer the lexicographically-first canonical URL (http) —
+    # deterministic, and prevents a duplicated host dimension
+    w = Window.partitionBy("host").orderBy(F.col("url_canon").asc())
+    robots_rows = (
+        robots_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("host", "html")
+    )
 
     @F.pandas_udf(ROBOTS_SCHEMA)
     def parse_udf(html: pd.Series) -> pd.DataFrame:

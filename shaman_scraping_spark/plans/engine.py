@@ -63,6 +63,41 @@ FRONTIER_SCHEMA = StructType([
 ])
 
 
+def load_canonical_corpus(spark: SparkSession, pages_path: str,
+                          pages_partitions: int | None = None) -> DataFrame:
+    """Canonicalized, unique-per-canonical-URL pages corpus, persisted.
+
+    The fat ``html`` column never crosses an exchange: read splits are
+    steered via maxPartitionBytes, and duplicate-canonical collapse
+    (earliest capture wins) runs on a skinny projection + semi-join,
+    and only when duplicates actually exist.
+    """
+    if pages_partitions:
+        total = sum(
+            f.stat().st_size for f in Path(pages_path).rglob("*")
+            if f.is_file()
+        ) or (Path(pages_path).stat().st_size
+              if Path(pages_path).is_file() else 0)
+        tgt = max(4 << 20, total // pages_partitions)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+    raw = spark.read.parquet(pages_path)
+    pages = with_url_columns(raw)
+    tot, dist = pages.agg(
+        F.count("*"), F.count_distinct("url_canon")
+    ).first()
+    if tot != dist:
+        winners = dedup_urls(
+            pages.select(
+                "url_canon", "url_hash",
+                F.lit(0).alias("depth"),
+                F.col("warc_ts").alias("discovery_ts"),
+                F.col("url").alias("parent_canon"),
+            )
+        ).select("url_canon", F.col("parent_canon").alias("url"))
+        pages = pages.join(winners, ["url_canon", "url"], "left_semi")
+    return pages
+
+
 def scope_predicate(config: CrawlConfig):
     """The ShouldScrape-style rule set as one Catalyst predicate (op 11)."""
     pred = F.lit(True)
@@ -92,28 +127,25 @@ class CrawlEngine:
         self.io = TableIO(spark, state_dir)
         self.state_dir = Path(state_dir)
         self.record_emission = record_emission
-        # corpus: canonicalized once; duplicate canonical rows are
-        # collapsed (earliest capture wins) so the fetch join is 1:1.
-        # Persisted — the corpus is static across waves, and without it
-        # every wave's ~8 actions would each recompute the full-corpus
-        # canonicalization + dedup window (measured 80 s/wave → 2 s).
-        # On a real cluster this materialization is a one-time bucketed
-        # write of the canonical corpus, not an in-memory cache.
-        raw = spark.read.parquet(pages_path)
-        pages = with_url_columns(raw).withColumn("depth", F.lit(0)) \
-            .withColumn("discovery_ts", F.col("warc_ts")) \
-            .withColumn("parent_canon", F.col("url"))
-        self.pages = dedup_urls(pages).drop(
-            "depth", "discovery_ts", "parent_canon"
-        ).persist()
+        # Corpus strategy (measured, see BENCH/BASELINE.md notes):
+        # the fat html column is NEVER cached and NEVER shuffled —
+        # caching 6 GB of columnar-compressed html cost 55 s up-front
+        # and saved ~12 s/scan; a parquet re-scan with column pruning
+        # scales with cores instead.  Only a SKINNY metadata projection
+        # persists (keys for anti-joins, hosts for politeness).
+        self.pages = load_canonical_corpus(
+            spark, pages_path, config.pages_partitions
+        )
+        self.pages_meta = self.pages.drop("html", "text").persist()
         # robots dimension parsed once for every corpus host (tiny);
         # per-wave host_state growth joins against this, so the pandas
         # UDF parse never re-runs inside the wave loop.
-        corpus_hosts = self.pages.select("host").distinct()
+        self.pages_meta.count()  # materialize meta before dependents
+        corpus_hosts = self.pages_meta.select("host").distinct()
         self.robots_dim = build_host_state(
             self.pages, corpus_hosts, config.default_crawl_delay
         ).persist()
-        self.robots_dim.count()  # materialize both caches up-front
+        self.robots_dim.count()
 
     # --- wave-complete marker (cross-table atomicity) -----------------------
 
@@ -164,12 +196,27 @@ class CrawlEngine:
 
     def run_wave(self, wave: int) -> int:
         """Execute wave *wave*; returns number of URLs scheduled."""
+        import sys
+        import time as _time
+
+        profile = os.environ.get("SSSPARK_PROFILE") == "1"
+        _last = _time.monotonic()
+
+        def _t(label: str) -> None:
+            nonlocal _last
+            if profile:
+                now = _time.monotonic()
+                print(f"[wave {wave}] {label}: {now - _last:.2f}s",
+                      file=sys.stderr, flush=True)
+                _last = now
+
         cfg = self.config
         spark = self.spark
         frontier = self.io.load("frontier", wave)
         seen = self.io.load("seen", wave)
         host_state = self.io.load("host_state", wave)
 
+        _t("load+isEmpty")
         if frontier.isEmpty():
             self._commit_empty(wave, seen, host_state)
             return 0
@@ -218,15 +265,32 @@ class CrawlEngine:
         scheduled = ranked.filter(F.col("scheduled"))
         remaining = ranked.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
 
-        # 4. fetch join against the corpus (misses → 404, no requeue)
+        # 4. fetch + content processing, ONE pass over the wave's html,
+        # materialized directly by the fetched-table commit (the
+        # write-read barrier then feeds links/lineage from the skinny
+        # read-back — html is never cached, never shuffled):
+        #   hits   = pages ⋈ broadcast(scheduled)  [inner BHJ, build =
+        #            skinny side; corpus parquet merely streamed]
+        #   misses = scheduled ∖ pages-keys         [skinny anti-join]
+        # At 10^10-page scale the broadcast is replaced by bucketing
+        # pages on url_hash at write time — same no-fat-shuffle goal.
         pages_min = self.pages.select(
             F.col("url_canon"), F.col("warc_ts"), F.col("html"),
             F.col("lang").alias("page_lang"),
         )
         fetch_ts = cfg.t0 + timedelta(seconds=wave * cfg.wave_seconds)
-        fetched = (
-            scheduled.select("url_canon", "url_hash", "host", "depth")
-            .join(pages_min, "url_canon", "left")
+        sched_keys = scheduled.select("url_canon", "url_hash", "host",
+                                      "depth")
+        hits = pages_min.join(F.broadcast(sched_keys), "url_canon", "inner")
+        misses = (
+            sched_keys.join(self.pages_meta.select("url_canon"),
+                            "url_canon", "left_anti")
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("page_lang", F.lit(None).cast("string"))
+        )
+        enriched = (
+            hits.unionByName(misses)
             .withColumn("redirect_to", redirect_target_udf("html", "url_canon"))
             .withColumn(
                 "status",
@@ -236,18 +300,32 @@ class CrawlEngine:
             )
             .withColumn("text", F.when(F.col("status") == 200,
                                        extract_text_udf("html")))
+            .withColumn(
+                "links",
+                F.when(F.col("status") == 200,
+                       extract_links_udf("html", "url_canon"))
+                .otherwise(F.array().cast("array<string>")),
+            )
+            .withColumn("n_bytes",
+                        F.coalesce(F.length("html"), F.lit(0)))
             .withColumn("wave", F.lit(wave))
             .withColumn("fetch_ts", F.lit(fetch_ts))
-            .persist()
         )
+        if not cfg.archive_html:
+            enriched = enriched.drop("html")
+        _t("plan-build")
+        self.io.commit("fetched", enriched, wave, mode="append")
+        _t("fetched-commit")
+        # read back this wave's slice (skinny columns only from here on)
+        fdf = self.io.load_delta("fetched", wave)
 
         # 5. link discovery: a[href] from 200s + redirect targets
-        links_200 = fetched.filter(F.col("status") == 200).select(
+        links_200 = fdf.filter(F.col("status") == 200).select(
             F.col("url_canon").alias("parent_canon"),
             F.col("depth").alias("parent_depth"),
-            F.explode(extract_links_udf("html", "url_canon")).alias("url"),
+            F.explode("links").alias("url"),
         )
-        links_302 = fetched.filter(F.col("status") == 302).select(
+        links_302 = fdf.filter(F.col("status") == 302).select(
             F.col("url_canon").alias("parent_canon"),
             F.col("depth").alias("parent_depth"),
             F.col("redirect_to").alias("url"),
@@ -312,7 +390,8 @@ class CrawlEngine:
         # token-spend dimension
         emitted_rows = scheduled.groupBy("host").agg(
             F.count("*").alias("emitted_count")
-        ).collect()
+).collect()
+        _t("emitted-collect")
         n_scheduled = sum(r["emitted_count"] for r in emitted_rows)
         emitted = self.spark.createDataFrame(
             emitted_rows or [], "host string, emitted_count long"
@@ -321,18 +400,18 @@ class CrawlEngine:
             host_state.drop("quota"), emitted
         ).select("host", "rules", "crawl_delay", "tokens", "budget_used")
 
-        # 7. lineage: per-partition per-wave rows (SURVEY.md §2A op 6)
-        lineage = fetched.groupBy(
+        # 7. lineage: per-partition per-wave rows (SURVEY.md §2A op 6),
+        # from the read-back slice (pruned scan: n_bytes only)
+        lineage = fdf.groupBy(
             F.spark_partition_id().alias("partition_id")
         ).agg(
             F.count("*").alias("urls_emitted"),
-            F.coalesce(F.sum(F.length("html")), F.lit(0)).alias("bytes_fetched"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes_fetched"),
         ).withColumn("wave", F.lit(wave))
 
-        # 8. commits — data tables first, marker last
-        self.io.commit("fetched", fetched.drop("redirect_to"), wave,
-                       mode="append")
+        # 8. remaining commits — data tables first, marker last
         self.io.commit("lineage", lineage, wave, mode="append")
+        _t("lineage-commit")
         if self.record_emission:
             # golden_quota fixture (test/golden path only)
             quota_log = (
@@ -360,11 +439,18 @@ class CrawlEngine:
             )
             self.io.commit("emission", emission, wave, mode="append")
         self.io.commit("seen", seen_delta, wave + 1, mode="append")
+        _t("seen-commit")
         self.io.commit("frontier", frontier_next, wave + 1)
+        _t("frontier-commit")
         self.io.commit("host_state", host_state_next, wave + 1)
+        _t("hoststate-commit")
         self._mark_complete(wave)
         ranked.unpersist()
-        fetched.unpersist()
+        if cfg.seen_prefilter == "bloom":
+            try:
+                probed.unpersist()
+            except NameError:
+                pass  # first wave: no bloom yet → no probed df
         return n_scheduled
 
     # --- bloom prefilter state (op 12; flag-gated) --------------------------

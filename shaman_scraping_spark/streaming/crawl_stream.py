@@ -136,13 +136,13 @@ class StreamingCrawl:
         (self.work / "deltas").mkdir(parents=True, exist_ok=True)
         (self.work / "seen").mkdir(parents=True, exist_ok=True)
         (self.work / "fetched").mkdir(parents=True, exist_ok=True)
-        raw = spark.read.parquet(pages_path)
-        self.pages = dedup_urls(
-            with_url_columns(raw)
-            .withColumn("depth", F.lit(0))
-            .withColumn("discovery_ts", F.col("warc_ts"))
-            .withColumn("parent_canon", F.col("url"))
-        ).drop("depth", "discovery_ts", "parent_canon").persist()
+        from shaman_scraping_spark.plans.engine import load_canonical_corpus
+
+        # streaming probes the corpus every micro-batch → cache it here
+        # (micro-batches are small relative to the corpus)
+        self.pages = load_canonical_corpus(
+            spark, pages_path, config.pages_partitions
+        ).persist()
         self._batch_no = 0
 
     # -- enqueue: seen-at-enqueue-time discipline --------------------------
@@ -197,8 +197,17 @@ class StreamingCrawl:
         pages_min = self.pages.select(
             "url_canon", "html", F.col("lang").alias("page_lang")
         )
+        # hits via broadcast inner join + skinny anti-join for misses —
+        # the fat corpus side never shuffles (see plans/engine.py)
+        hits = pages_min.join(F.broadcast(batch_df), "url_canon", "inner")
+        misses = (
+            batch_df.join(pages_min.select("url_canon"), "url_canon",
+                          "left_anti")
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("page_lang", F.lit(None).cast("string"))
+        )
         fetched = (
-            batch_df.join(pages_min, "url_canon", "left")
+            hits.unionByName(misses)
             .withColumn(
                 "redirect_to", redirect_target_udf("html", "url_canon")
             )

