@@ -50,19 +50,73 @@ class CrawlConfig:
     exclude_regex: str | None = None
     max_pages_per_host: int | None = None  # host budget (budget_used cap)
     t0: datetime = DEFAULT_T0
+    # crawler product token for robots.txt group matching (RFC 9309:
+    # the most specific matching User-agent group overrides `*`)
+    user_agent: str = "shaman-spark"
+    # Redirect chains resolve WITHIN the wave, up to this many hops
+    # past the original fetch (the reference follows 3xx inside one
+    # HTTP request — r1 re-queued targets at one hop per wave, costing
+    # a 3-hop chain 3 waves of politeness budget).  Hop semantics
+    # (pinned; the simulator mirrors them):
+    #   * chains resolve against the corpus's STATIC redirect graph —
+    #     an HTTP client follows Location responses without consulting
+    #     the seen set mid-chain, so a seen intermediate does NOT stop
+    #     the chain (it just isn't re-recorded);
+    #   * a chain STOPS at: an out-of-scope/uncanonicalizable target, a
+    #     robots-blocked target (politeness holds per request URL; the
+    #     blocked target is marked seen), or the hop cap;
+    #   * a reached target is fetched/recorded only if unseen and not
+    #     already fetched this wave; hop rows land in `fetched` at the
+    #     same wave with depth = predecessor depth + 1 and count in
+    #     lineage; hop fetches consume NO quota and are not emissions;
+    #   * a target whose own redirect lies past the cap enters the
+    #     frontier as an ordinary link (one hop per wave from there).
+    # Engine mechanics: the ≤k-hop closure of the redirect graph is
+    # precomputed at init, so per-wave resolution is ONE equi-join.
+    # 0 → no in-wave hops (r1 behavior).
+    max_redirect_hops: int = 3
     shuffle_partitions: int | None = None
     host_salt: int = 42                    # salt for host-hash partitioning
     # approximate seen-set prefilter before the exact anti-join
-    # (None | "bloom"); correctness never depends on it — the sketch
-    # has no false negatives and positives re-check exactly
+    # (None | "bloom" | "cuckoo"); correctness never depends on it —
+    # both sketches have no false negatives and positives re-check
+    # exactly.  "cuckoo" is the primary structure (BASELINE.json
+    # north_star: partitioned cuckoo filter, bloom fallback): shards
+    # stay distributed and co-partitioned with probes, updated
+    # incrementally per wave.
     seen_prefilter: str | None = None
     bloom_bits: int = 1 << 23
     bloom_hashes: int = 7
+    cuckoo_shards: int = 32
+    cuckoo_buckets: int = 1 << 15   # per shard; rounded up to a power of 2
     # archive payload bytes into the fetched table (the WARC-archive
     # role).  False keeps only metadata + extracted text length —
     # used by single-disk benchmarks where archive IO can't scale
     # with cores the way per-executor storage does on a cluster.
     archive_html: bool = True
+    # When set, every wave also tees its fetched payloads into
+    # `{warc_dir}/wave-NNNNNN/part-*.warc.gz` (one gzip member per
+    # record, seekable) with index rows in the `warc_index` table —
+    # the reference's ACTUAL persistent output (WARC archive + sidecar
+    # index).  Requires archive_html=True.
+    warc_dir: str | None = None
+    # CollectAdditionalLinks-style hooks: regex strings (one capture
+    # group = the href) applied to script/comment-stripped html in the
+    # same UDF pass as a[href] extraction; hook links append after the
+    # anchor links, same resolution + scope rules.  Example:
+    #   (r'<img\b[^>]*?\bsrc\s*=\s*"([^"]*)"',)
+    link_patterns: tuple = ()
+    # Bucket the canonical corpus on pmod(xxhash64(url_canon), N) at
+    # engine init (one-time Spark rewrite into the state dir, hive-
+    # partitioned by `pbucket`, cached across runs/resumes).  Each
+    # wave's fetch join then PRUNES the corpus scan to the partitions
+    # its scheduled keys actually hit — when a crawl touches a small
+    # slice of a huge corpus (the "crawl one site inside Common Crawl"
+    # case), the pages-side scan reads a bounded fraction of files
+    # instead of streaming all of them every wave (VERDICT r1 item 2).
+    # A frontier that spans all buckets degrades gracefully to the
+    # full scan it would need anyway.  None → flat layout.
+    corpus_buckets: int | None = None
     # partition count of the canonical corpus cache.  Sized by DATA
     # (≈ bytes/64MB), not by core count — every wave's fetch-join and
     # extraction stages scan this cache, so an inflated count multiplies

@@ -22,9 +22,7 @@ from dataclasses import dataclass, field
 
 from shaman_scraping_spark.config import UNLIMITED_QUOTA, CrawlConfig
 from shaman_scraping_spark.corpus.generator import Corpus
-from shaman_scraping_spark.functions.html import (
-    extract_links, redirect_target,
-)
+from shaman_scraping_spark.functions.html import process_html
 from shaman_scraping_spark.functions.url import canonicalize_url_py
 from shaman_scraping_spark.operators.politeness import (
     parse_robots, robots_allowed, url_path_of,
@@ -44,6 +42,8 @@ class SimResult:
 def _host_of(url_canon: str) -> str:
     rest = url_canon.split("://", 1)[1]
     hostport = rest.split("/", 1)[0]
+    if hostport.startswith("["):  # IPv6 literal keeps its brackets
+        return hostport[: hostport.index("]") + 1]
     return hostport.rsplit(":", 1)[0] if ":" in hostport else hostport
 
 
@@ -54,6 +54,15 @@ def _parent_key(parent: str | None):
 def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
     res = SimResult()
     cfg = config
+    # content processing goes through the SAME combined kernel as the
+    # engine's UDF (incl. the CollectAdditionalLinks-style hook
+    # patterns) — parity by construction
+    import re as _re
+
+    hook_pats = tuple(
+        _re.compile(p, _re.IGNORECASE | _re.DOTALL)
+        for p in (cfg.link_patterns or ())
+    ) or None
 
     # corpus lookup by canonical url (earliest capture wins on dup canon)
     by_canon: dict[str, tuple] = {}
@@ -93,20 +102,30 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
 
     # host -> dict(rules, delay, tokens, budget_used)
     host_state: dict[str, dict] = {}
+    # transient robots lookups (hop targets probe robots WITHOUT
+    # registering the host in host_state — mirrors the engine, whose
+    # quota/host_state tables grow from FRONTIER hosts only)
+    robots_cache: dict[str, tuple] = {}
+
+    def robots_of(h: str) -> tuple:
+        if h not in robots_cache:
+            robots_url = f"http://{h}/robots.txt"
+            entry = by_canon.get(robots_url) or by_canon.get(
+                f"https://{h}/robots.txt"
+            )
+            if entry is not None:
+                from shaman_scraping_spark.functions.html import decode_html
+                robots_cache[h] = parse_robots(decode_html(entry[2]),
+                                               cfg.default_crawl_delay,
+                                               cfg.user_agent)
+            else:
+                robots_cache[h] = ([], cfg.default_crawl_delay)
+        return robots_cache[h]
 
     def ensure_host(h: str) -> None:
         if h in host_state:
             return
-        robots_url = f"http://{h}/robots.txt"
-        entry = by_canon.get(robots_url) or by_canon.get(
-            f"https://{h}/robots.txt"
-        )
-        if entry is not None:
-            from shaman_scraping_spark.functions.html import decode_html
-            rules, delay = parse_robots(decode_html(entry[2]),
-                                        cfg.default_crawl_delay)
-        else:
-            rules, delay = [], cfg.default_crawl_delay
+        rules, delay = robots_of(h)
         host_state[h] = {
             "rules": rules, "delay": delay, "tokens": 0.0, "budget": 0,
         }
@@ -170,37 +189,113 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
                 (h, wave, quotas[h], emitted_by_host.get(h, 0))
             )
 
-        # 5. fetch + link discovery
+        # 5. fetch + link discovery (+ in-wave redirect hops, op 20 —
+        # level-synchronous with min-(depth, parent) dedup per level,
+        # mirroring the engine's per-level dedup_urls; spec pinned in
+        # config.py max_redirect_hops)
         wave_bytes = 0
+        fetch_count = 0
         discoveries: dict[str, tuple] = {}
+        scheduled_set = {c for _, _, c, _ in scheduled}
+        hop_cand: dict[str, tuple] = {}   # target -> (depth, parent) min
+
+        def discover(lc: str, depth: int, parent: str) -> None:
+            lh = _host_of(lc)
+            if not in_scope(lc, lh, depth):
+                return
+            cand = (depth, wave + 1, _parent_key(parent))
+            prev = discoveries.get(lc)
+            if prev is None or cand < prev:
+                discoveries[lc] = cand
+
+        def walk_chain(src: str, d0: int) -> None:
+            """Collect redirect-chain candidates along the STATIC graph
+            (closure semantics, config.py): seen intermediates don't
+            stop the walk; blocked / out-of-scope / missing nodes do."""
+            from shaman_scraping_spark.functions.html import (
+                redirect_target,
+            )
+
+            cur, d = src, d0
+            for _k in range(cfg.max_redirect_hops):
+                entry = by_canon.get(cur)
+                if entry is None:
+                    break
+                rt = redirect_target(entry[2], cur)
+                if rt is None:
+                    break
+                lc = canonicalize_url_py(rt)
+                if lc is None:
+                    break
+                lh = _host_of(lc)
+                if not in_scope(lc, lh, d + 1):
+                    break
+                key = (d + 1, cur)
+                prev = hop_cand.get(lc)
+                if prev is None or key < prev:
+                    hop_cand[lc] = key
+                rules, _dl = robots_of(lh)
+                if not robots_allowed(url_path_of(lc), rules):
+                    break  # blocked target is never fetched → no edge out
+                cur, d = lc, d + 1
+
         for depth, wdisc, c, h in scheduled:
             res.seen.add(c)
+            fetch_count += 1
             entry = by_canon.get(c)
             if entry is None:
                 res.fetched.append((c, wave, 404))
                 continue
             _ts, _url, html, _text, _lang = entry
             wave_bytes += len(html) if html is not None else 0
-            rt = redirect_target(html, c)
+            rt, _text2, links = process_html(html, c, hook_pats)
             if rt is not None:
                 res.fetched.append((c, wave, 302))
-                links = [rt]
+                lc = canonicalize_url_py(rt)
+                if lc is not None:
+                    discover(lc, depth + 1, c)      # frontier path (seen-
+                walk_chain(c, depth)                # filtered at merge)
             else:
                 res.fetched.append((c, wave, 200))
-                links = extract_links(html, c)
-            for link in links:
-                lc = canonicalize_url_py(link)
-                if lc is None:
-                    continue
-                lh = _host_of(lc)
-                if not in_scope(lc, lh, depth + 1):
-                    continue
-                cand = (depth + 1, wave + 1, _parent_key(c))
-                prev = discoveries.get(lc)
-                if prev is None or cand < prev:
-                    discoveries[lc] = cand
+                for link in links:
+                    lc = canonicalize_url_py(link)
+                    if lc is not None:
+                        discover(lc, depth + 1, c)
 
-        res.wave_totals.append((wave, len(scheduled), wave_bytes))
+        # process hop candidates (already the full ≤k-hop closure of
+        # the scheduled set — one pass, no level iteration)
+        fetched_this_wave = set(scheduled_set)
+        for lc in sorted(hop_cand):
+            d1, _parent = hop_cand[lc]
+            if lc in res.seen or lc in fetched_this_wave:
+                continue
+            rules, _delay = robots_of(_host_of(lc))
+            if not robots_allowed(url_path_of(lc), rules):
+                res.seen.add(lc)                    # blocked → seen
+                continue
+            fetched_this_wave.add(lc)
+            res.seen.add(lc)
+            fetch_count += 1
+            entry = by_canon.get(lc)
+            if entry is None:
+                res.fetched.append((lc, wave, 404))
+                continue
+            _ts, _url, html, _text, _lang = entry
+            wave_bytes += len(html) if html is not None else 0
+            rt2, _t2, links2 = process_html(html, lc, hook_pats)
+            if rt2 is not None:
+                res.fetched.append((lc, wave, 302))
+                lc2 = canonicalize_url_py(rt2)
+                if lc2 is not None:
+                    discover(lc2, d1 + 1, lc)
+            else:
+                res.fetched.append((lc, wave, 200))
+                for link in links2:
+                    lc2 = canonicalize_url_py(link)
+                    if lc2 is not None:
+                        discover(lc2, d1 + 1, lc)
+
+        res.wave_totals.append((wave, fetch_count, wave_bytes))
 
         # 6. spend tokens
         for h, n in emitted_by_host.items():

@@ -340,6 +340,15 @@ def q_ann_lsh(spark, sf):
     )
 
 
+def q_doc_fingerprint(spark, sf):
+    """Winnowing-style doc fingerprint (rows-only; xxhash64-based)."""
+    from shaman_scraping_spark.functions.text import doc_fingerprint
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", doc_fingerprint("text", k=4, keep=4).alias("fp")
+    )
+
+
 def q_embedding_norm(spark, sf):
     return _t(spark, sf, "embeddings").select(
         "vec_id", F.round(l2_norm(F.col("embedding")), 3).alias("l2")
@@ -371,6 +380,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "embedding_norm": q_embedding_norm,
@@ -482,22 +492,28 @@ ORACLES = {
     """,
     "token_count": """
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
-                   AS n_tokens
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS INT) AS n_tokens
         FROM documents
     """,
     "quality_score": """
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
-                   AS n_tokens,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS INT) AS n_tokens,
                round(CAST(length(text) AS DOUBLE)
-                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+')) END, 1),
                      4) AS mean_token_len,
                round(CAST(len(list_filter(string_split_regex(trim(text),
                          '\\s+'),
                          t -> list_contains(['the','over','lazy','quick',
                                              'jumps'], t))) AS DOUBLE)
-                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+')) END, 1),
                      4) AS stopword_ratio
         FROM documents
     """,
@@ -515,8 +531,9 @@ ORACLES = {
           SELECT DISTINCT doc_id, source,
                  array_to_string(toks[i:i+4], ' ') AS shingle
           FROM (
-            SELECT doc_id, source, string_split(text, ' ') AS toks
-            FROM documents
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
           ), unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS g(i)
         ), sizes AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1

@@ -29,7 +29,9 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType, StringType, StructField, StructType,
+)
 
 # --- charset sniffing -------------------------------------------------------
 
@@ -93,18 +95,22 @@ def _decode_entities(s: str) -> str:
     return s
 
 
-def extract_text(html_bytes: bytes | None) -> str:
-    """FIXTURES.md §B.2 canonical extraction; the byte-identity oracle."""
-    s = decode_html(html_bytes)
-    if not s:
-        return ""
-    s = _SCRIPT_RE.sub(" ", s)
+def _text_from_script_stripped(s: str) -> str:
+    """§B.2 pipeline AFTER the script-strip step (shared with links)."""
     s = _STYLE_RE.sub(" ", s)
     s = _COMMENT_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     s = _decode_entities(s)
     s = _WS_RE.sub(" ", s)
     return s.strip()
+
+
+def extract_text(html_bytes: bytes | None) -> str:
+    """FIXTURES.md §B.2 canonical extraction; the byte-identity oracle."""
+    s = decode_html(html_bytes)
+    if not s:
+        return ""
+    return _text_from_script_stripped(_SCRIPT_RE.sub(" ", s))
 
 
 # --- link extraction --------------------------------------------------------
@@ -126,17 +132,12 @@ _META_REFRESH_RE = re.compile(
 )
 
 
-def extract_links(html_bytes: bytes | None, base_url: str) -> list[str]:
-    """All a[href] values resolved to absolute URLs (honors <base href>).
+def _links_from_script_stripped(s: str, base_url: str) -> list[str]:
+    """Link scan AFTER the script-strip step (shared with text)."""
+    return _links_from_comment_stripped(_COMMENT_RE.sub(" ", s), base_url)
 
-    Returns absolute http(s) URLs only, in document order, duplicates kept
-    (in-wave dedup is a relational op downstream — SURVEY.md §2B op 14).
-    """
-    s = decode_html(html_bytes)
-    if not s:
-        return []
-    s = _SCRIPT_RE.sub(" ", s)
-    s = _COMMENT_RE.sub(" ", s)
+
+def _links_from_comment_stripped(s: str, base_url: str) -> list[str]:
     bm = _BASE_RE.search(s)
     if bm:
         base_url = urljoin(base_url, next(g for g in bm.groups() if g is not None))
@@ -152,6 +153,18 @@ def extract_links(html_bytes: bytes | None, base_url: str) -> list[str]:
     return out
 
 
+def extract_links(html_bytes: bytes | None, base_url: str) -> list[str]:
+    """All a[href] values resolved to absolute URLs (honors <base href>).
+
+    Returns absolute http(s) URLs only, in document order, duplicates kept
+    (in-wave dedup is a relational op downstream — SURVEY.md §2B op 14).
+    """
+    s = decode_html(html_bytes)
+    if not s:
+        return []
+    return _links_from_script_stripped(_SCRIPT_RE.sub(" ", s), base_url)
+
+
 def redirect_target(html_bytes: bytes | None, base_url: str) -> str | None:
     """Meta-refresh redirect target (absolute), or None."""
     s = decode_html(html_bytes)
@@ -163,7 +176,97 @@ def redirect_target(html_bytes: bytes | None, base_url: str) -> str | None:
     return urljoin(base_url, _decode_entities(m.group(1)).strip())
 
 
+# --- combined single-pass kernel (the engine's hot path) ---------------------
+
+def process_html(
+    html_bytes: bytes | None, base_url: str,
+    extra_patterns: tuple | None = None,
+) -> tuple:
+    """(redirect_to, text, links) in ONE decode of the payload.
+
+    Byte-identical to calling redirect_target / extract_text /
+    extract_links separately (each kernel is the same pipeline split at
+    the shared script-strip step) — but the fat html column crosses the
+    JVM→Python Arrow boundary once instead of three times, and the
+    charset decode runs once.  Redirect pages skip extraction entirely
+    (the engine nulls their text/links anyway).
+
+    *extra_patterns*: optional compiled (regex, group) hooks collecting
+    additional link attributes (the reference's CollectAdditionalLinks
+    -style delegates) — appended after the a[href] links, same
+    resolution/filter rules.
+    """
+    s0 = decode_html(html_bytes)
+    if not s0:
+        return None, "", []
+    m = _META_REFRESH_RE.search(s0)
+    if m:
+        return urljoin(base_url, _decode_entities(m.group(1)).strip()), None, []
+    s1 = _SCRIPT_RE.sub(" ", s0)
+    text = _text_from_script_stripped(s1)
+    s2 = _COMMENT_RE.sub(" ", s1)
+    links = _links_from_comment_stripped(s2, base_url)
+    if extra_patterns:
+        links = links + _hook_links(s2, base_url, extra_patterns)
+    return None, text, links
+
+
+def _hook_links(s: str, base_url: str, patterns) -> list[str]:
+    """Apply configurable link-collection hooks to stripped html."""
+    out: list[str] = []
+    for rx in patterns:
+        for m in rx.finditer(s):
+            href = next((g for g in m.groups() if g is not None), None)
+            if href is None:
+                continue
+            href = _decode_entities(href).strip()
+            if not href or href.startswith(
+                ("javascript:", "mailto:", "data:", "#")
+            ):
+                continue
+            absu = urljoin(base_url, href)
+            if absu.startswith(("http://", "https://")):
+                out.append(absu)
+    return out
+
+
 # --- Spark UDF surface (Arrow-batched) --------------------------------------
+
+PROCESSED_SCHEMA = StructType([
+    StructField("redirect_to", StringType()),
+    StructField("text", StringType()),
+    StructField("links", ArrayType(StringType())),
+])
+
+
+def make_process_html_udf(link_patterns: tuple = ()):
+    """Combined redirect+text+links UDF — the engine's one Python
+    boundary per wave (3 separate UDFs = 3 Arrow transfers of the fat
+    html column + 3 charset decodes; measured ~3× the Python-side cost).
+
+    *link_patterns*: regex strings with one capture group each (the
+    CollectAdditionalLinks-style hooks from CrawlConfig), compiled once
+    per executor task.
+    """
+    pats = tuple(link_patterns or ())
+
+    @F.pandas_udf(PROCESSED_SCHEMA)
+    def process_html_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        compiled = tuple(
+            re.compile(p, re.IGNORECASE | re.DOTALL) for p in pats
+        ) or None
+        rts, texts, links = [], [], []
+        for h, u in zip(html, url):
+            rt, tx, lk = process_html(h, u, compiled)
+            rts.append(rt)
+            texts.append(tx)
+            links.append(lk)
+        return pd.DataFrame(
+            {"redirect_to": rts, "text": texts, "links": links}
+        )
+
+    return process_html_udf
+
 
 @F.pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:

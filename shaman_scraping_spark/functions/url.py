@@ -28,6 +28,7 @@ exactness (at a 10^10-URL frontier, 64-bit birthday collisions are
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 from pyspark.sql import Column
@@ -35,11 +36,19 @@ from pyspark.sql import functions as F
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# URLs containing raw whitespace are invalid (RFC 3986 forbids them;
+# Spark's parse_url/Java URI rejects them) — the twin mirrors that.
+# extract_links strips leading/trailing whitespace before resolution,
+# so only genuinely-malformed hrefs are dropped.
+_URL_WS_RE = re.compile(r"\s")
+
 
 # --- pure-Python twin (oracle simulator + property tests) -------------------
 
 def canonicalize_url_py(url: str) -> str | None:
     """Pure-Python canonicalizer; must agree with :func:`canonicalize_url`."""
+    if url is None or _URL_WS_RE.search(url):
+        return None
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -50,11 +59,13 @@ def canonicalize_url_py(url: str) -> str | None:
     host = (parts.hostname or "").lower()
     if not host:
         return None
+    if ":" in host:  # IPv6 literal — authority keeps the brackets
+        host = f"[{host}]"
     port = ""
     try:
         if parts.port is not None:
             port = str(parts.port)
-    except ValueError:
+    except ValueError:  # out-of-range port (>65535) → invalid URL
         return None
     if port == _DEFAULT_PORTS.get(scheme):
         port = ""
@@ -75,9 +86,12 @@ def url_host_py(url: str) -> str | None:
     if c is None:
         return None
     try:
-        return urlsplit(c).hostname
+        host = urlsplit(c).hostname
     except ValueError:  # pragma: no cover
         return None
+    if host and ":" in host:  # IPv6 — match the native HOST part
+        return f"[{host}]"
+    return host
 
 
 # --- native Catalyst path ---------------------------------------------------
@@ -114,10 +128,12 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(F.lit(""))
 
     canon = F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    port_ok = (port == "") | (port.try_cast("bigint") <= F.lit(65535))
     ok = (
         scheme.isin("http", "https")
         & host.isNotNull()
         & (host != "")
+        & port_ok
     )
     return F.when(ok, canon).otherwise(F.lit(None))
 

@@ -64,6 +64,7 @@ class TableIO:
         tdir = self._tdir(table)
         data_dir = tdir / f"data-{wave:06d}"
         df.write.mode("overwrite").parquet(str(data_dir))
+        num_rows = self._dir_row_count(data_dir)
 
         if mode == "append":
             # chain from the newest manifest *strictly before* this wave —
@@ -78,12 +79,36 @@ class TableIO:
             "wave": wave,
             "mode": mode,
             "data_dirs": dirs,
+            # rows written AT this wave (the delta for append tables,
+            # the whole snapshot otherwise) — read driver-side from the
+            # parquet footers, so callers never need a Spark count()
+            # job (the r1 wave loop burned an isEmpty() + a collect()
+            # action per wave on exactly this information)
+            "num_rows": num_rows,
             "snapshot_id": uuid.uuid5(
                 uuid.NAMESPACE_URL, f"{table}/{wave}"
             ).hex,
         }
         self._atomic_write_json(self._manifest_path(table, wave), manifest)
         self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
+
+    @staticmethod
+    def _dir_row_count(data_dir: Path) -> int:
+        """Row count of a parquet dir from file footers (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in data_dir.glob("*.parquet"):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
+    def row_count(self, table: str, wave: int | None = None) -> int | None:
+        """Rows committed AT *wave* (manifest-recorded; None if unknown,
+        e.g. a manifest written by an older engine version)."""
+        m = self.read_manifest(table, wave)
+        if m is None:
+            return None
+        return m.get("num_rows")
 
     def _newest_manifest_before(self, table: str, wave: int) -> dict | None:
         waves = sorted(

@@ -229,12 +229,23 @@ def simhash_neardup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     k: int = 3, threshold: float = 0.0, group_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingle sets for all doc pairs sharing
     ≥1 shingle (optionally restricted to the same group_col value).
 
     Output (id_a, id_b, jaccard).  Inverted-index join: docs never meet
     unless they share a shingle, so disjoint docs cost nothing.
+
+    *max_df*: drop shingles whose document frequency exceeds this cap
+    BEFORE the self-join (standard inverted-index pruning).  Without it
+    a single boilerplate shingle shared by n docs contributes O(n²)
+    join rows — at web scale (10⁶ docs sharing a footer sentence →
+    10¹² rows) this is the operator's kill switch, so production calls
+    must set it.  Capped pairs can still match via their other (rarer)
+    shared shingles; only pairs whose ONLY shared shingles are
+    boilerplate are missed, and the denominator stays exact because
+    per-doc set sizes are computed before pruning.
     """
     keep = [id_col] + ([group_col] if group_col else [])
     ex = (
@@ -242,6 +253,18 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        # document frequency per shingle (within group if grouped) —
+        # one extra hash-agg on the already-exploded index, map-side
+        # combined; hot shingles never reach the join
+        df_cols = (["sh", group_col] if group_col else ["sh"])
+        hot = (
+            ex.groupBy(*df_cols)
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select(*df_cols)
+        )
+        ex = ex.join(hot, df_cols, "left_anti")
     join_cond = [F.col("a.sh") == F.col("b.sh"),
                  F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     if group_col:

@@ -15,10 +15,17 @@ bucket"; checkout empty, SURVEY.md §0).  Here:
 
 Parse spec (pinned; oracle simulator mirrors it):
   lines split on '\n'; ``field: value`` with field case-insensitive;
-  only the ``User-agent: *`` group is honored; ``Disallow:``/
-  ``Allow:`` with empty value are ignored; ``Crawl-delay`` parsed as
-  float (invalid → default).  A missing/unfetchable robots.txt →
-  allow-all with the config default delay.
+  groups per RFC 9309 — consecutive ``User-agent`` lines open a group
+  whose rules apply to all the named agents.  Group selection for
+  agent A: token ``*`` matches with specificity 0; token t matches if
+  lower(t) is a prefix of lower(A) (product-token match), specificity
+  len(t).  The highest-specificity matching groups win (so a specific
+  ``User-agent: shaman`` group OVERRIDES ``*`` — r1 honored only the
+  ``*`` group, VERDICT item 6); equal-specificity groups merge.
+  ``Disallow:``/``Allow:`` with empty value are ignored; ``Crawl-delay``
+  parsed as float (invalid → ignored; absent → default).  A missing/
+  unfetchable robots.txt or no matching group → allow-all, default
+  delay.
 """
 
 from __future__ import annotations
@@ -45,13 +52,28 @@ ROBOTS_SCHEMA = StructType(
 
 # --- pure-Python kernels (shared spec with the oracle simulator) ------------
 
-def parse_robots(body: str | None, default_delay: float = 0.0):
-    """robots.txt body → (rules, crawl_delay); see parse spec above."""
-    rules: list[tuple[bool, str]] = []
-    delay = default_delay
+def parse_robots(body: str | None, default_delay: float = 0.0,
+                 user_agent: str = "*"):
+    """robots.txt body → (rules, crawl_delay); see parse spec above.
+
+    *user_agent* is the crawler's product token; the most specific
+    matching group(s) win (RFC 9309 §2.2.1), ``*`` being least specific.
+    """
     if not body:
-        return rules, delay
-    in_star_group = False
+        return [], default_delay
+    # 1. parse into groups: ([tokens], [(allow, prefix)], delay|None)
+    groups: list[tuple[list, list, float | None]] = []
+    cur_tokens: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    cur_delay: float | None = None
+    in_agent_run = False  # consecutive User-agent lines share a group
+
+    def _flush():
+        nonlocal cur_tokens, cur_rules, cur_delay
+        if cur_tokens:
+            groups.append((cur_tokens, cur_rules, cur_delay))
+        cur_tokens, cur_rules, cur_delay = [], [], None
+
     for raw in body.split("\n"):
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -60,16 +82,45 @@ def parse_robots(body: str | None, default_delay: float = 0.0):
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            in_star_group = value == "*"
-        elif in_star_group and field == "disallow" and value:
-            rules.append((False, value))
-        elif in_star_group and field == "allow" and value:
-            rules.append((True, value))
-        elif in_star_group and field == "crawl-delay":
-            try:
-                delay = float(value)
-            except ValueError:
-                pass
+            if not in_agent_run:
+                _flush()
+            cur_tokens.append(value)
+            in_agent_run = True
+        else:
+            in_agent_run = False
+            if field == "disallow" and value:
+                cur_rules.append((False, value))
+            elif field == "allow" and value:
+                cur_rules.append((True, value))
+            elif field == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+    _flush()
+
+    # 2. pick the highest-specificity matching group(s)
+    ua = user_agent.lower()
+
+    def _spec(token: str) -> int:
+        if token == "*":
+            return 0
+        t = token.lower()
+        return len(t) if ua.startswith(t) else -1
+
+    best = -1
+    for tokens, _, _ in groups:
+        for t in tokens:
+            best = max(best, _spec(t))
+    if best < 0:
+        return [], default_delay
+    rules: list[tuple[bool, str]] = []
+    delay = default_delay
+    for tokens, rs, dl in groups:
+        if max((_spec(t) for t in tokens), default=-1) == best:
+            rules.extend(rs)
+            if dl is not None:
+                delay = dl
     return rules, delay
 
 
@@ -96,7 +147,8 @@ def url_path_of(url_canon: str) -> str:
 # --- Spark surface ----------------------------------------------------------
 
 def build_host_state(
-    pages: DataFrame, hosts: DataFrame, default_delay: float = 0.0
+    pages: DataFrame, hosts: DataFrame, default_delay: float = 0.0,
+    user_agent: str = "*",
 ) -> DataFrame:
     """host dimension: robots rules + crawl_delay for every host in *hosts*.
 
@@ -133,7 +185,8 @@ def build_host_state(
 
         out_rules, out_delay = [], []
         for b in html:
-            rules, delay = parse_robots(decode_html(b), default_delay)
+            rules, delay = parse_robots(decode_html(b), default_delay,
+                                        user_agent)
             out_rules.append([
                 {"allow": a, "prefix": p} for a, p in rules
             ])

@@ -164,6 +164,22 @@ _SLOTS = 4
 _MAX_KICKS = 250
 
 
+def _pow2_buckets(n_buckets: int) -> int:
+    """Round *n_buckets* up to a power of two.
+
+    The partial-key alt-bucket map ``b2 = b1 ^ hash(fp)`` is an
+    involution ONLY modulo a power of two; for other sizes the ``% n``
+    wrap breaks round-tripping, so evicted fingerprints can land in
+    buckets the probe never checks — false negatives (ADVICE.md r1,
+    verified 13/3600 FNs at n=1000, 90% load).  Every entry point
+    (build, probe, shard construction) normalizes through here so the
+    two sides can never disagree.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    return 1 << (n_buckets - 1).bit_length()
+
+
 def _cuckoo_parts(h: np.ndarray, n_buckets: int):
     """fingerprint (uint16, never 0), primary bucket, alt bucket."""
     r = _remix(h.astype(np.uint64))
@@ -180,6 +196,7 @@ class CuckooShard:
     """One shard's table: (n_buckets, 4) uint16; fp 0 = empty."""
 
     def __init__(self, n_buckets: int):
+        n_buckets = _pow2_buckets(n_buckets)
         self.table = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
         self.n_buckets = n_buckets
         self.saturated = False
@@ -234,6 +251,7 @@ class CuckooShard:
 
     @classmethod
     def from_bytes(cls, raw: bytes, n_buckets: int) -> "CuckooShard":
+        n_buckets = _pow2_buckets(n_buckets)
         sh = cls.__new__(cls)
         sh.saturated = raw[:1] == b"S"
         sh.table = np.frombuffer(raw[1:], dtype=np.uint16).reshape(
@@ -282,6 +300,55 @@ def cuckoo_build(
             )
 
     return keyed.mapInArrow(build, "shard_id int, blob binary")
+
+
+def cuckoo_update(
+    shards: DataFrame | None, delta: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 32, n_buckets: int = 1 << 15,
+) -> DataFrame:
+    """Insert *delta[hash_col]* into an existing partitioned cuckoo
+    filter, returning the updated (shard_id, blob) table.
+
+    Incremental by design: each wave's seen-delta folds into the
+    standing filter without rebuilding over the full seen set (the
+    WARC-index pattern the bloom path already follows).  One shuffle:
+    blob rows and delta rows co-partition on shard_id, then each group
+    deserializes its shard once, inserts vectorized, re-serializes.
+    Never centralizes — at a 10^10-URL frontier the shard table is TBs
+    in aggregate and stays distributed.
+    """
+    if shards is None:
+        return cuckoo_build(delta, hash_col, n_shards, n_buckets)
+
+    keyed = delta.select(
+        shard_id_col(hash_col, n_shards).alias("shard_id"),
+        F.col(hash_col).alias("h"),
+    )
+
+    # cogroup keeps each side's own schema — no null-padding a long
+    # column (pandas would widen int64→float64 and silently corrupt
+    # hashes above 2^53)
+    def merge(blobs, hashes):
+        import pandas as pd
+
+        if len(blobs):
+            sid = int(blobs["shard_id"].iloc[0])
+            shard = CuckooShard.from_bytes(bytes(blobs["blob"].iloc[0]),
+                                           n_buckets)
+        else:
+            sid = int(hashes["shard_id"].iloc[0])
+            shard = CuckooShard(n_buckets)
+        hs = hashes["h"].to_numpy()
+        if hs.size:
+            shard.insert_many(hs.astype(np.uint64))
+        return pd.DataFrame({"shard_id": [sid], "blob": [shard.to_bytes()]})
+
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(keyed.groupBy("shard_id"))
+        .applyInPandas(merge, "shard_id int, blob binary")
+    )
 
 
 def cuckoo_probe(

@@ -164,6 +164,103 @@ def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
 
 # --- Spark surface ----------------------------------------------------------
 
+WARC_INDEX_SCHEMA = (
+    "url string, warc_ts timestamp, warc_file string, offset long, "
+    "length long, http_status int"
+)
+
+
+def write_warc_archive(
+    df: DataFrame, out_dir: str, compress: bool = True,
+) -> DataFrame:
+    """Distributed WARC sink: each partition writes ONE `.warc(.gz)`
+    part-file (one gzip member per record — the standard seekable
+    layout) and emits its index rows (url, warc_ts, warc_file, offset,
+    length, http_status), the WarcItem-sidecar pattern: random access
+    to any record by (file, offset, length) without rescanning.
+
+    *df* columns: ``url_canon``/``url``, ``warc_ts``, ``html``
+    (payload), ``status``.  Lazy: the files are written when the
+    RETURNED index DataFrame is materialized — the engine commits the
+    index through TableIO, so archive + index cost one Spark action.
+    Filenames are deterministic per partition id → an idempotent wave
+    re-run overwrites its own part-files.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    url_col = "url_canon" if "url_canon" in df.columns else "url"
+    slim = df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(
+            F.col("warc_ts"), F.lit(datetime(2024, 1, 1, tzinfo=timezone.utc))
+        ).alias("warc_ts"),
+        F.col("html"), F.col("status"),
+    )
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = path + ".tmp"
+        idx = {"url": [], "warc_ts": [], "warc_file": [], "offset": [],
+               "length": [], "http_status": []}
+        wrote = False
+        with open(tmp, "wb") as fh:
+            offset = 0
+            for batch in batches:
+                urls = batch.column(0).to_pylist()
+                tss = batch.column(1).to_pylist()
+                payloads = batch.column(2)
+                statuses = batch.column(3).to_pylist()
+                for i, u in enumerate(urls):
+                    payload = payloads[i].as_py() or b""
+                    rec = write_warc_bytes(
+                        [{"url": u, "warc_ts": tss[i], "payload": payload,
+                          "http_status": statuses[i]}],
+                        compress=compress,
+                    )
+                    fh.write(rec)
+                    wrote = True
+                    idx["url"].append(u)
+                    idx["warc_ts"].append(tss[i])
+                    idx["warc_file"].append(path)
+                    idx["offset"].append(offset)
+                    idx["length"].append(len(rec))
+                    idx["http_status"].append(statuses[i])
+                    offset += len(rec)
+        if wrote:
+            os.replace(tmp, path)  # atomic publish
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(idx["url"], type=pa.string()),
+                    pa.array(idx["warc_ts"], type=pa.timestamp("us", tz="UTC")),
+                    pa.array(idx["warc_file"], type=pa.string()),
+                    pa.array(idx["offset"], type=pa.int64()),
+                    pa.array(idx["length"], type=pa.int64()),
+                    pa.array(idx["http_status"], type=pa.int32()),
+                ],
+                list(idx.keys()),
+            )
+        else:
+            os.remove(tmp)
+
+    return slim.mapInArrow(write_parts, WARC_INDEX_SCHEMA)
+
+
+def read_warc_record(warc_file: str, offset: int, length: int) -> dict:
+    """Random access via an index row — WarcItem.OpenStream analogue:
+    seek + read one record, no archive rescan."""
+    with open(warc_file, "rb") as fh:
+        fh.seek(offset)
+        raw = fh.read(length)
+    recs = parse_warc_bytes(raw, warc_file=warc_file)
+    return recs[0] if recs else {}
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC archive directory → record DataFrame (one row per record).
 

@@ -220,8 +220,13 @@ class StreamingCrawl:
             .withColumn("fetch_ts", F.current_timestamp())
             .persist()
         )
-        fetched.drop("html", "redirect_to").write.mode("append").parquet(
-            str(self.work / "fetched")
+        # Per-batch directory keyed by batch_id, written with OVERWRITE:
+        # foreachBatch is at-least-once under checkpoint recovery, so a
+        # replayed micro-batch must replace its own output rather than
+        # append a second copy (ADVICE.md r1 — the seen anti-join
+        # prevents duplicate *enqueues* but not duplicate fetched rows).
+        fetched.drop("html", "redirect_to").write.mode("overwrite").parquet(
+            str(self.work / "fetched" / f"batch-{batch_id:08d}")
         )
         links = fetched.filter(F.col("status") == 200).select(
             F.col("url_canon").alias("parent_canon"),
@@ -278,7 +283,9 @@ class StreamingCrawl:
     # -- results -----------------------------------------------------------
 
     def fetched(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.work / "fetched"))
+        return self.spark.read.parquet(
+            str(self.work / "fetched" / "batch-*")
+        )
 
     def seen_set(self) -> DataFrame:
         return self._seen()

@@ -136,6 +136,29 @@ def test_bloom_prefilter_identical_results(
     assert got == sim.seen
 
 
+def test_cuckoo_prefilter_identical_results(
+    spark, tiny_corpus_dir, config, sim, tmp_path_factory
+):
+    """The PRIMARY seen-set structure (BASELINE.json north_star): the
+    partitioned cuckoo filter, updated incrementally per wave, must not
+    change any output (no false negatives; positives re-check exactly).
+    Small bucket count forces real occupancy + the pow-2 rounding path."""
+    state = tmp_path_factory.mktemp("crawl_state_cuckoo")
+    cfg = CrawlConfig(**{
+        **config.__dict__, "seen_prefilter": "cuckoo",
+        "cuckoo_shards": 4, "cuckoo_buckets": 1000,  # rounds to 1024
+    })
+    eng = CrawlEngine(
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
+    )
+    eng.run()
+    assert _engine_emissions(eng) == sorted(sim.emissions)
+    got = {r["url_canon"] for r in eng.io.load("seen").collect()}
+    assert got == sim.seen
+    # shards were committed + carried across waves (incremental update)
+    assert eng.io.read_manifest("cuckoo") is not None
+
+
 def test_resume_fidelity(spark, tiny_corpus_dir, config, sim, tmp_path_factory):
     """Kill after wave 2, resume → identical emission log + seen set."""
     state = tmp_path_factory.mktemp("crawl_state_resume")

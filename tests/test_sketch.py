@@ -75,6 +75,23 @@ def test_cuckoo_shard_roundtrip():
     assert fpr < 0.05
 
 
+def test_cuckoo_non_pow2_buckets_no_false_negatives():
+    """ADVICE.md r1 regression: b2 = b1 ^ hash(fp) is an involution only
+    mod a power of two; n_buckets=1000 at 90% load gave 13/3600 false
+    negatives.  CuckooShard now rounds up to a power of two at every
+    entry point, restoring the no-FN guarantee for any requested size."""
+    sh = CuckooShard(1000)  # rounds to 1024
+    assert sh.n_buckets == 1024
+    # 90% of the rounded capacity (1024 buckets x 4 slots)
+    keys = (np.arange(int(1024 * 4 * 0.9), dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15))
+    sh.insert_many(keys)
+    assert sh.contains(keys).all()
+    raw = sh.to_bytes()
+    sh2 = CuckooShard.from_bytes(raw, 1000)
+    assert sh2.contains(keys).all()
+
+
 def test_cuckoo_partitioned_no_false_negatives(spark, hashed):
     shards = cuckoo_build(hashed, n_shards=8, n_buckets=1 << 12)
     probed = cuckoo_probe(hashed, shards, n_shards=8, n_buckets=1 << 12)

