@@ -8,7 +8,17 @@ mid-frontier with identical downstream ordering (BASELINE.json).
 
 Scale notes (the 100 TB design point):
 * per-wave state lives in snapshot tables, never in driver memory —
-  the only driver-side values are tiny scalars (row counts, wave no.);
+  the only driver-side values are tiny scalars (manifest row counts,
+  wave no., ≤n_buckets bucket ids);
+* a wave runs exactly ONE Python boundary (the combined redirect+
+  text+links pandas UDF) and ZERO bookkeeping actions: frontier
+  emptiness and scheduled counts come from parquet-footer counts
+  recorded in the manifests at commit time;
+* the independent end-of-wave commits (lineage, seen, frontier,
+  host_state, …) run as CONCURRENT Spark jobs from driver threads —
+  wall cost ≈ max(job), not Σ(job);
+* redirect chains resolve via a closure table precomputed at init
+  (one extra equi-join per wave, constant plan size in the hop cap);
 * every politeness join broadcasts the host dimension (hosts ≪ URLs);
 * the per-host quota cap bounds any host's scheduled rows per wave →
   bounded partition width under the host-keyed window shuffle even for
@@ -16,7 +26,9 @@ Scale notes (the 100 TB design point):
 * each wave reads back what it wrote (write-read barrier) so plan
   lineage never grows across waves — the classic iterative-Spark trap;
 * `html:binary` (the fat column) is touched only downstream of the
-  fetch join and never carried into the frontier/seen tables.
+  fetch join and never carried into the frontier/seen tables; with
+  `corpus_buckets` set the fetch join also PRUNES the corpus scan to
+  the hive buckets the scheduled keys hit.
 
 Crash model: per-table manifests commit atomically (TableIO); a wave
 is visible to resume only once the root `wave-complete` marker is
@@ -236,6 +248,48 @@ class CrawlEngine:
         else:
             self.redirect_closure = None
 
+    # --- bucketed corpus layout (config.corpus_buckets) ----------------------
+
+    def _bucketize_corpus(self, n_buckets: int) -> DataFrame:
+        """One-time rewrite of the canonical corpus hive-partitioned by
+        ``pbucket = pmod(xxhash64(url_canon), n_buckets)`` into the
+        state dir (cached across runs via a marker file).  Each wave's
+        fetch join prunes its corpus scan to the partitions the
+        scheduled keys hit — see CrawlConfig.corpus_buckets.
+
+        The rewrite repartitions ON pbucket first so each partition
+        directory holds one file (without it, every input task writes
+        a sliver into every bucket dir → tasks × buckets tiny files).
+        This is the single place the fat html column ever crosses a
+        shuffle, once, at prep time — the same one-time cost a real
+        cluster pays to bucket a Common-Crawl dump at ingest.
+        """
+        bdir = self.state_dir / "corpus_bucketed"
+        marker = bdir / "_layout.json"
+        if not marker.exists():
+            (
+                self.pages
+                .withColumn(
+                    "pbucket",
+                    F.pmod(F.xxhash64("url_canon"),
+                           F.lit(n_buckets)).cast("int"),
+                )
+                .repartition(n_buckets, "pbucket")
+                .write.mode("overwrite")
+                .partitionBy("pbucket")
+                .parquet(str(bdir / "data"))
+            )
+            TableIO._atomic_write_json(marker, {"n_buckets": n_buckets})
+        else:
+            got = json.loads(marker.read_text())["n_buckets"]
+            if got != n_buckets:
+                raise ValueError(
+                    f"corpus_bucketed layout has {got} buckets; "
+                    f"config asks for {n_buckets} — clear the state dir "
+                    "or match the existing layout"
+                )
+        return self.spark.read.parquet(str(bdir / "data"))
+
     # --- wave-complete marker (cross-table atomicity) -----------------------
 
     def _marker_path(self) -> Path:
@@ -420,6 +474,28 @@ class CrawlEngine:
             ).persist()
             hop_seen_frames.append(hop_ok.select(*SEEN_KEY))
             hop_seen_frames.append(hop_blocked.select(*SEEN_KEY))
+        if cfg.corpus_buckets:
+            # partition-prune the corpus scan to the hive buckets the
+            # fetch keys hit.  The collect is ≤ corpus_buckets ints —
+            # bounded driver traffic regardless of frontier size; a
+            # frontier spanning every bucket skips the filter (the full
+            # scan it would need anyway).
+            hit_buckets = [
+                r["b"] for r in fetch_keys.select(
+                    F.pmod(F.col("url_hash"), F.lit(cfg.corpus_buckets))
+                    .cast("int").alias("b")
+                ).distinct().collect()
+            ]
+            _t("bucket-probe")
+            if len(hit_buckets) < cfg.corpus_buckets:
+                pages_min = (
+                    self.pages
+                    .filter(F.col("pbucket").isin(hit_buckets))
+                    .select(
+                        F.col("url_canon"), F.col("warc_ts"),
+                        F.col("html"), F.col("lang").alias("page_lang"),
+                    )
+                )
         hits = pages_min.join(F.broadcast(fetch_keys), "url_canon", "inner")
         misses = (
             fetch_keys.join(self.pages_meta.select("url_canon"),

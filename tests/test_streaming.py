@@ -49,6 +49,46 @@ def test_streaming_crawl_matches_batch_seen_set(
     assert statuses <= {200, 302, 404}
 
 
+def test_replayed_batch_is_idempotent(spark, tiny_corpus_dir,
+                                      tmp_path_factory):
+    """ADVICE r1: foreachBatch is at-least-once under checkpoint
+    recovery — re-processing a micro-batch with the same batch_id must
+    not duplicate fetched rows (per-batch-dir overwrite) and must not
+    re-enqueue (seen anti-join)."""
+    from shaman_scraping_spark.plans.engine import FRONTIER_SCHEMA
+
+    cfg = CrawlConfig(seeds=("http://host00.example/",), max_waves=5)
+    work = tmp_path_factory.mktemp("stream_replay")
+    sc = StreamingCrawl(
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(work)
+    )
+    sc.seed()
+    # pin the micro-batch input rows: checkpoint recovery replays the
+    # SAME rows; a path-based DataFrame would re-list the (since grown)
+    # deltas dir because Spark refreshes relations on any write to the
+    # path
+    rows = spark.read.schema(FRONTIER_SCHEMA).parquet(
+        str(work / "deltas")
+    ).collect()
+    batch = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    sc._process_batch(batch, batch_id=0)
+    first = sorted(
+        (r["url_canon"], r["status"]) for r in sc.fetched().collect()
+    )
+    deltas_first = spark.read.schema(FRONTIER_SCHEMA).parquet(
+        str(work / "deltas")
+    ).count()
+    sc._process_batch(batch, batch_id=0)     # simulated replay
+    second = sorted(
+        (r["url_canon"], r["status"]) for r in sc.fetched().collect()
+    )
+    assert second == first                    # no duplicate records
+    deltas_second = spark.read.schema(FRONTIER_SCHEMA).parquet(
+        str(work / "deltas")
+    ).count()
+    assert deltas_second == deltas_first      # no duplicate enqueues
+
+
 def test_windowed_metrics_batch_analogue(spark):
     from datetime import datetime, timezone
 
