@@ -66,6 +66,7 @@ def run_crawl_bench(spark, cpus: int) -> dict:
     lineage = eng.io.load("lineage")
     urls = lineage.agg(F.sum("urls_emitted")).collect()[0][0] or 0
     bytes_ = lineage.agg(F.sum("bytes_fetched")).collect()[0][0] or 0
+    eng.close()
     shutil.rmtree(state, ignore_errors=True)
     return {
         "pages": BENCH_CORPUS_PAGES,

@@ -106,6 +106,24 @@ class CrawlConfig:
     # anchor links, same resolution + scope rules.  Example:
     #   (r'<img\b[^>]*?\bsrc\s*=\s*"([^"]*)"',)
     link_patterns: tuple = ()
+    # Fetch-join strategy against the pages corpus:
+    #   "broadcast" — build the scheduled-keys side into a broadcast
+    #     hash join.  Fine for small waves, but the build is
+    #     DRIVER-SERIAL (collect + rebroadcast of every scheduled key,
+    #     every wave) — a scaling wall at big waves and a driver OOM at
+    #     10^10-URL frontiers.
+    #   "bucketed" — the canonical corpus is written ONCE as a
+    #     bucketBy(N, url_canon) sorted table (cached across runs via
+    #     corpus_cache_dir); each wave's fetch is then ONE co-located
+    #     right-outer sort-merge join: corpus side has no exchange and
+    #     no sort, the skinny scheduled side shuffles in parallel, no
+    #     driver collect anywhere.  Misses fall out of the same join
+    #     (null html → 404).  The 100 TB design point.
+    fetch_join: str = "bucketed"
+    fetch_join_buckets: int = 64
+    # where the bucketed corpus table files live (shared across runs /
+    # resumes; None → inside the state dir)
+    corpus_cache_dir: str | None = None
     # Bucket the canonical corpus on pmod(xxhash64(url_canon), N) at
     # engine init (one-time Spark rewrite into the state dir, hive-
     # partitioned by `pbucket`, cached across runs/resumes).  Each

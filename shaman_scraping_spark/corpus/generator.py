@@ -112,10 +112,18 @@ class Corpus:
             schema=self.schema(),
         )
 
-    def write(self, out_dir: str | Path) -> Path:
+    def write(self, out_dir: str | Path,
+              row_group_size: int = 2048) -> Path:
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
-        pq.write_table(self.to_arrow(), out / "pages.parquet")
+        # Bounded row groups make the single file SPLITTABLE: Spark
+        # assigns byte-range splits per row group, so a scan fans out
+        # across cores.  pyarrow's default (~1M rows) packed the whole
+        # corpus into ONE row group → every corpus scan + UDF stage ran
+        # as a single task and no parallelism level could help (the r1
+        # "local[32] slower than local[8]" scaling mystery).
+        pq.write_table(self.to_arrow(), out / "pages.parquet",
+                       row_group_size=row_group_size)
         (out / "seeds.txt").write_text("\n".join(self.seeds) + "\n")
         return out
 

@@ -29,6 +29,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but fanned out across cores first.  The driver's
+    parquet files hold ONE row group each (pyarrow default), so a scan
+    is a single unsplittable task — fine for cheap projections, but the
+    shingle-explode / 64-agg / LSH queries would otherwise do ALL their
+    map-side work on one core.  One small shuffle buys full
+    parallelism."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2B — projections / filters / URL algebra analogues
 # ---------------------------------------------------------------------------
@@ -299,20 +311,20 @@ def q_lang_score(spark, sf):
 def q_minhash_neardup(spark, sf):
     """MinHash+LSH near-dup candidates (rows-only; xxhash64-based)."""
     return minhash_neardup_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text",
+        _t_wide(spark, sf, "documents"), "doc_id", "text",
         num_perm=16, bands=4, threshold=0.5,
     )
 
 
 def q_simhash(spark, sf):
     """SimHash fingerprints (rows-only; xxhash64-based)."""
-    return simhash64(_t(spark, sf, "documents"), "doc_id", "text")
+    return simhash64(_t_wide(spark, sf, "documents"), "doc_id", "text")
 
 
 def q_ngram_jaccard(spark, sf):
     """Exact 5-gram Jaccard pairs over same-source docs, j ≥ 0.2."""
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text",
+        _t_wide(spark, sf, "documents"), "doc_id", "text",
         k=5, threshold=0.2, group_col="source",
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -331,7 +343,7 @@ def q_ann_topk(spark, sf):
 
 def q_ann_lsh(spark, sf):
     """LSH-bucketed approximate ANN (rows-only; hyperplane seed 42)."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -344,7 +356,7 @@ def q_doc_fingerprint(spark, sf):
     """Winnowing-style doc fingerprint (rows-only; xxhash64-based)."""
     from shaman_scraping_spark.functions.text import doc_fingerprint
 
-    return _t(spark, sf, "documents").select(
+    return _t_wide(spark, sf, "documents").select(
         "doc_id", doc_fingerprint("text", k=4, keep=4).alias("fp")
     )
 

@@ -123,9 +123,11 @@ def test_bloom_prefilter_identical_results(
     """Op 12 integration: the flag-gated bloom prefilter must not change
     any output (no false negatives; positives re-check exactly)."""
     state = tmp_path_factory.mktemp("crawl_state_bloom")
+    # fetch_join="broadcast" here keeps the non-default join strategy
+    # e2e-covered (the default "bucketed" path runs in every other test)
     cfg = CrawlConfig(**{
         **config.__dict__, "seen_prefilter": "bloom",
-        "bloom_bits": 1 << 18,
+        "bloom_bits": 1 << 18, "fetch_join": "broadcast",
     })
     eng = CrawlEngine(
         spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)

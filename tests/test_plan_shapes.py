@@ -104,8 +104,10 @@ def test_bucketed_corpus_fetch_join_prunes_partitions(
     n_buckets = 16
     state = tmp_path_factory.mktemp("bucketed_state")
     # a SINGLE seed → early waves schedule few URLs → few buckets hit
+    # (partition-pruning layout pairs with the broadcast fetch join;
+    # fetch_join="bucketed" is the alternative layout)
     cfg = CrawlConfig(seeds=(tiny_corpus.seeds[0],), max_waves=3,
-                      corpus_buckets=n_buckets)
+                      corpus_buckets=n_buckets, fetch_join="broadcast")
     eng = CrawlEngine(
         spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
     )

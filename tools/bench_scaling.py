@@ -30,12 +30,24 @@ sys.path.insert(0, str(REPO))
 SCALING_HOSTS = 200
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "600000"))
 SCALING_WAVES = int(os.environ.get("SPARK_GRAFT_SCALING_WAVES", "6"))
+# ~50KB pages: per-wave fetch/extract compute must dominate the
+# per-wave fixed costs (job scheduling, commits) the way it does on a
+# real crawl, where a wave moves GBs of payload per executor
+SCALING_PARAGRAPHS = int(os.environ.get("SPARK_GRAFT_SCALING_PARAS", "360"))
+# saturating seed set: throughput is measured at STEADY STATE (every
+# wave is full-width), not during BFS ramp-up — with a handful of root
+# seeds, half the waves schedule almost nothing and measure only fixed
+# overhead
+SCALING_SEEDS = int(os.environ.get("SPARK_GRAFT_SCALING_SEEDS", "20000"))
 DET_PAGES = 2000
 DET_WAVES = 5
 
 
-def corpus_dir(pages: int, hosts: int, delays: tuple, tag: str) -> str:
-    d = Path(tempfile.gettempdir()) / f"ssspark_scaling_{tag}_{pages}_{hosts}_v3"
+def corpus_dir(pages: int, hosts: int, delays: tuple, tag: str,
+               paragraphs: int = 120) -> str:
+    d = Path(tempfile.gettempdir()) / (
+        f"ssspark_scaling_{tag}_{pages}_{hosts}_p{paragraphs}_v4"
+    )
     if not (d / "pages.parquet").exists():
         from shaman_scraping_spark.corpus.generator import (
             CorpusSpec, generate_corpus,
@@ -43,8 +55,8 @@ def corpus_dir(pages: int, hosts: int, delays: tuple, tag: str) -> str:
         generate_corpus(
             CorpusSpec(n_hosts=hosts, n_pages=pages, seed=42,
                        crawl_delays=delays,
-                       paragraphs_per_page=120,  # ~10KB pages: compute must
-                       branching=8)              # dominate local-mode task cost
+                       paragraphs_per_page=paragraphs,
+                       branching=8)
         ).write(d)
     return str(d)
 
@@ -63,7 +75,10 @@ def crawl_once(spark, corpus: str, seeds, waves: int,
     # equally and mask compute scaling.  Extraction still runs.
     cfg = CrawlConfig(seeds=tuple(seeds), max_waves=waves,
                       archive_html=(waves <= 5),  # keep archive on for the
-                      pages_partitions=64)        # small determinism run
+                      pages_partitions=64,        # small determinism run
+                      # bucketBy layout is written once per corpus and
+                      # shared across runs + parallelism levels
+                      corpus_cache_dir=corpus)
     eng = CrawlEngine(spark, cfg, f"{corpus}/pages.parquet", state,
                       record_emission=record_emission)
     t0 = time.monotonic()
@@ -72,6 +87,7 @@ def crawl_once(spark, corpus: str, seeds, waves: int,
     urls = eng.io.load("lineage").agg(
         F.sum("urls_emitted")
     ).collect()[0][0] or 0
+    eng.close()  # release init persists — leaked blocks slow later runs
     emission_sha = None
     if record_emission:
         em = eng.io.load("emission").orderBy("wave", "emit_rank").collect()
@@ -97,8 +113,19 @@ def child(args) -> None:
                     "spark.python.worker.reuse": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    seeds = [f"http://host{i:02d}.example/" for i in range(SCALING_HOSTS)]
-    corpus = corpus_dir(args.pages, SCALING_HOSTS, (0,), "tput")
+    corpus = corpus_dir(args.pages, SCALING_HOSTS, (0,), "tput",
+                        paragraphs=SCALING_PARAGRAPHS)
+    # deterministic saturating seed set: first N canonical urls
+    from pyspark.sql import functions as F
+
+    from shaman_scraping_spark.functions.url import canonicalize_url
+
+    seeds = [
+        r["c"] for r in spark.read.parquet(f"{corpus}/pages.parquet")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .orderBy("c").limit(SCALING_SEEDS).collect()
+    ]
     results = []
     for run in range(args.runs):
         if run == args.runs - 1:
@@ -229,9 +256,13 @@ def main() -> None:
     md.write_text(f"""# BENCH/BASELINE — measured numbers
 
 Protocol per BASELINE.md: same crawl job, same deterministic input
-({args.pages}-page synthetic corpus, seed 42, {SCALING_HOSTS} hosts,
-{args.waves} waves, all-hosts seed list, politeness on with
-crawl-delay 0), run at two local parallelism levels in separate JVMs;
+({args.pages}-page synthetic corpus, ~50KB pages
+({SCALING_PARAGRAPHS} paragraphs), seed 42, {SCALING_HOSTS} hosts,
+max {args.waves} waves, SATURATING seed set ({SCALING_SEEDS} urls — the
+steady-state regime where every wave is full-width, as on a real
+10^10-URL frontier; BFS ramp-up waves measure only fixed overhead),
+politeness on with crawl-delay 0, fetch_join="bucketed" (the 100 TB
+strategy), run at two local parallelism levels in separate JVMs;
 first run per JVM discarded (warm-up), TRUE MEDIAN of the remaining
 {args.runs - 1} hot runs reported with p10/p90 spread.
 `spark.sql.shuffle.partitions` = 64 at BOTH levels (a data-size knob),
