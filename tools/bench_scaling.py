@@ -75,9 +75,12 @@ def crawl_once(spark, corpus: str, seeds, waves: int,
     # equally and mask compute scaling.  Extraction still runs.
     cfg = CrawlConfig(seeds=tuple(seeds), max_waves=waves,
                       archive_html=(waves <= 5),  # keep archive on for the
-                      pages_partitions=64,        # small determinism run
+                                                  # small determinism run
                       # bucketBy layout is written once per corpus and
-                      # shared across runs + parallelism levels
+                      # shared across runs + parallelism levels; finer
+                      # buckets = finer fetch-scan tasks (bucketed scans
+                      # read one task per bucket)
+                      fetch_join_buckets=256,
                       corpus_cache_dir=corpus)
     eng = CrawlEngine(spark, cfg, f"{corpus}/pages.parquet", state,
                       record_emission=record_emission)
@@ -115,16 +118,24 @@ def child(args) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = corpus_dir(args.pages, SCALING_HOSTS, (0,), "tput",
                         paragraphs=SCALING_PARAGRAPHS)
-    # deterministic saturating seed set: first N canonical urls
+    # deterministic saturating seed set, hash-sampled so seeds spread
+    # uniformly across hosts (a sorted-prefix sample would cluster on
+    # the first zipf-heavy host and re-introduce BFS ramp-up waves)
     from pyspark.sql import functions as F
 
     from shaman_scraping_spark.functions.url import canonicalize_url
 
-    seeds = [
-        r["c"] for r in spark.read.parquet(f"{corpus}/pages.parquet")
+    urls = (
+        spark.read.parquet(f"{corpus}/pages.parquet")
         .select(canonicalize_url(F.col("url")).alias("c"))
         .filter(F.col("c").isNotNull())
-        .orderBy("c").limit(SCALING_SEEDS).collect()
+    )
+    n_urls = urls.count()
+    stride = max(1, n_urls // SCALING_SEEDS)
+    seeds = [
+        r["c"] for r in urls.filter(
+            F.pmod(F.xxhash64("c"), F.lit(stride)) == 0
+        ).collect()
     ]
     results = []
     for run in range(args.runs):
