@@ -118,9 +118,24 @@ class CrawlConfig:
     #     right-outer sort-merge join: corpus side has no exchange and
     #     no sort, the skinny scheduled side shuffles in parallel, no
     #     driver collect anywhere.  Misses fall out of the same join
-    #     (null html → 404).  The 100 TB design point.
-    fetch_join: str = "bucketed"
+    #     (null html → 404).  The 100 TB design point.  COMPOSES with
+    #     corpus_buckets (VERDICT r2 item 2): when both are set the
+    #     table is additionally hive-partitioned by pbucket, so the
+    #     SMJ's corpus side is ALSO partition-pruned to the buckets the
+    #     scheduled keys hit — co-located and bounded at once.
+    #   "auto" (default) — "broadcast" while the corpus parquet is
+    #     smaller than fetch_join_broadcast_max_bytes, else "bucketed".
+    #     At a 20k-page bench corpus the per-wave SMJ fixed cost
+    #     exceeds the driver-serial broadcast build (BENCH_r02's crawl
+    #     regression); at a Common-Crawl corpus the broadcast build is
+    #     the wall.  Corpus bytes, known at init, picks the side.
+    fetch_join: str = "auto"
     fetch_join_buckets: int = 64
+    # "auto" cutover: corpus parquet size below which the broadcast
+    # strategy wins (the SMJ's value is never collecting scheduled keys
+    # to the driver — irrelevant while the whole corpus fits in one
+    # broadcast-scan pass and waves are ≪ autoBroadcastJoinThreshold)
+    fetch_join_broadcast_max_bytes: int = 2 << 30
     # where the bucketed corpus table files live (shared across runs /
     # resumes; None → inside the state dir)
     corpus_cache_dir: str | None = None

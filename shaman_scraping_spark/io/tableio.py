@@ -76,15 +76,22 @@ class TableIO:
             writer.append()
         else:
             writer.createOrReplace()
-        # snapshot-id ↔ wave mapping for time travel
-        snap = self.spark.sql(
-            f"SELECT snapshot_id FROM {name}.snapshots "
+        # snapshot-id ↔ wave mapping for time travel; parent id bounds
+        # the incremental read that load_delta() issues; num_rows comes
+        # from the snapshot summary, so callers never need a Spark
+        # count() job — same contract as the parquet branch
+        snap, parent, summary = self.spark.sql(
+            f"SELECT snapshot_id, parent_id, summary FROM {name}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
-        ).collect()[0][0]
+        ).collect()[0]
+        n_key = "added-records" if mode == "append" else "total-records"
+        num_rows = int(summary[n_key]) if summary.get(n_key) else 0
         self._atomic_write_json(
             self._manifest_path(table, wave),
             {"table": table, "wave": wave, "mode": mode,
-             "iceberg_snapshot_id": snap, "num_rows": None},
+             "iceberg_snapshot_id": snap,
+             "iceberg_parent_snapshot_id": parent,
+             "num_rows": num_rows},
         )
         self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
 
@@ -97,6 +104,21 @@ class TableIO:
             self.spark.read.option("snapshot-id", snap)
             .table(self._iceberg_name(table))
         )
+
+    def _load_delta_iceberg(self, table: str, wave: int) -> DataFrame | None:
+        """Only the rows committed AT *wave*: an Iceberg incremental
+        read bounded by (parent snapshot, wave snapshot].  Append-only
+        snapshots only — exactly the tables load_delta is used on."""
+        m = self.read_manifest(table, wave)
+        if m is None:
+            return None
+        snap = m["iceberg_snapshot_id"]
+        parent = m.get("iceberg_parent_snapshot_id")
+        reader = self.spark.read.format("iceberg")
+        if parent is not None:
+            reader = reader.option("start-snapshot-id", parent)
+        reader = reader.option("end-snapshot-id", snap)
+        return reader.load(self._iceberg_name(table))
 
     # --- manifest plumbing -------------------------------------------------
 
@@ -216,6 +238,8 @@ class TableIO:
     def load_delta(self, table: str, wave: int) -> DataFrame | None:
         """Only the data written at *wave* (append tables' per-wave
         slice) — the engine's write-read barrier reads this back."""
+        if self.table_format == "iceberg":
+            return self._load_delta_iceberg(table, wave)
         d = self._tdir(table) / f"data-{wave:06d}"
         if not d.exists():
             return None

@@ -242,10 +242,17 @@ def ngram_jaccard_pairs(
     a single boilerplate shingle shared by n docs contributes O(n²)
     join rows — at web scale (10⁶ docs sharing a footer sentence →
     10¹² rows) this is the operator's kill switch, so production calls
-    must set it.  Capped pairs can still match via their other (rarer)
-    shared shingles; only pairs whose ONLY shared shingles are
-    boilerplate are missed, and the denominator stays exact because
-    per-doc set sizes are computed before pruning.
+    must set it.  Semantics under the cap: per-doc set sizes are
+    computed BEFORE pruning but the intersection count is computed
+    AFTER, so the reported jaccard is a LOWER BOUND on the true value —
+    exact for pairs sharing no hot shingle, underestimated for pairs
+    sharing both hot and rare shingles (the hot overlap is missing from
+    the numerator only).  Consequences: pairs whose only shared
+    shingles are boilerplate never reach the join at all, and a pair
+    whose true jaccard clears *threshold* only thanks to hot-shingle
+    overlap is dropped.  Threshold comparisons are therefore against
+    the bound, which is the conservative direction for dedup (never
+    reports a HIGHER similarity than the truth).
     """
     keep = [id_col] + ([group_col] if group_col else [])
     ex = (

@@ -96,25 +96,35 @@ def load_canonical_corpus(spark: SparkSession, pages_path: str,
         F.count("*"), F.count_distinct("url_canon")
     ).first()
     if tot != dist:
-        # Winner = earliest (warc_ts, url) per canonical URL.  The
-        # semi-join keys on the full row identity (url_canon, url,
-        # warc_ts) so a RECRAWL — two captures of the same url string —
-        # collapses to the earliest capture too (ADVICE.md r1: keying
-        # on (url_canon, url) alone kept both captures and duplicated
-        # fetched rows downstream).  Matches the simulator's by_canon
+        # Winner = earliest (warc_ts, url) per canonical URL, so a
+        # RECRAWL — two captures of the same url string — collapses to
+        # the earliest capture.  The semi-join keys on a per-row id
+        # (NOT the natural key): two BYTE-IDENTICAL captures share
+        # (url_canon, url, warc_ts), so a natural-key semi-join keeps
+        # both and duplicates every downstream fetched row (ADVICE.md
+        # r2).  monotonically_increasing_id is partition-offset-based —
+        # deterministic for a parquet read under fixed splits, and
+        # recomputed identically on both join branches (same lineage).
+        # xxhash64(html) precedes __rid in the tiebreak so the winner
+        # among same-key captures is content-deterministic; only the
+        # skinny key columns + two hashes cross the window shuffle —
+        # html itself never does.  Matches the simulator's by_canon
         # min-(ts, url) rule.
+        pages = pages.withColumn("__rid", F.monotonically_increasing_id())
         w = Window.partitionBy("url_canon").orderBy(
-            F.col("warc_ts").asc(), F.col("url").asc()
+            F.col("warc_ts").asc(), F.col("url").asc(),
+            F.col("__h").asc(), F.col("__rid").asc(),
         )
         winners = (
-            pages.select("url_canon", "url", "warc_ts")
+            pages.select(
+                "url_canon", "url", "warc_ts", "__rid",
+                F.xxhash64("html").alias("__h"),
+            )
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .select("__rid")
         )
-        pages = pages.join(
-            winners, ["url_canon", "url", "warc_ts"], "left_semi"
-        )
+        pages = pages.join(winners, "__rid", "left_semi").drop("__rid")
     return pages
 
 
@@ -167,20 +177,35 @@ class CrawlEngine:
         self.pages = load_canonical_corpus(
             spark, pages_path, config.pages_partitions
         )
-        if config.corpus_buckets:
-            if config.fetch_join == "bucketed":
-                raise ValueError(
-                    "corpus_buckets (hive partition-pruning layout) and "
-                    "fetch_join='bucketed' (bucketBy join layout) are "
-                    "alternative corpus layouts — pick one"
-                )
-            self.pages = self._bucketize_corpus(config.corpus_buckets)
-        elif config.fetch_join == "bucketed":
-            self.pages = self._bucketize_join_table(
-                config.fetch_join_buckets, pages_path
-            )
-        elif config.fetch_join != "broadcast":
+        if config.fetch_join not in ("auto", "broadcast", "bucketed"):
             raise ValueError(f"unknown fetch_join: {config.fetch_join}")
+        self.fetch_join = config.fetch_join
+        if self.fetch_join == "auto":
+            # corpus bytes decide the strategy (config.py rationale):
+            # the SMJ exists to avoid the driver-serial broadcast
+            # build, which only matters once the corpus outgrows a
+            # single cheap scan pass
+            src = Path(pages_path)
+            total = (
+                sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+                if src.is_dir() else src.stat().st_size
+            )
+            self.fetch_join = (
+                "broadcast"
+                if total <= config.fetch_join_broadcast_max_bytes
+                else "bucketed"
+            )
+        if self.fetch_join == "bucketed":
+            # corpus_buckets COMPOSES here (VERDICT r2 item 2): the
+            # bucketBy join table is additionally hive-partitioned by
+            # pbucket, so each wave's SMJ corpus side is both
+            # exchange-free AND pruned to the hit buckets
+            self.pages = self._bucketize_join_table(
+                config.fetch_join_buckets, pages_path,
+                part_buckets=config.corpus_buckets,
+            )
+        elif config.corpus_buckets:
+            self.pages = self._bucketize_corpus(config.corpus_buckets)
         self.pages_meta = self.pages.drop("html", "text").persist()
         # robots dimension parsed once for every corpus host (tiny);
         # per-wave host_state growth joins against this, so the pandas
@@ -317,56 +342,97 @@ class CrawlEngine:
                 )
         return self.spark.read.parquet(str(bdir / "data"))
 
-    def _bucketize_join_table(self, n_buckets: int,
-                              pages_path: str) -> DataFrame:
+    def _bucketize_join_table(self, n_buckets: int, pages_path: str,
+                              part_buckets: int | None = None) -> DataFrame:
         """One-time rewrite of the canonical corpus as a
         ``bucketBy(n_buckets, url_canon)`` + ``sortBy(url_canon)``
         saved table (fetch_join="bucketed", see CrawlConfig).
 
+        With *part_buckets* set (config.corpus_buckets) the table is
+        ADDITIONALLY hive-partitioned by ``pbucket =
+        pmod(xxhash64(url_canon), part_buckets)`` — the composed layout
+        (VERDICT r2 item 2): the per-wave fetch join stays an
+        exchange-free co-located SMJ via the bucket spec, while the
+        bounded hit-bucket literal filter prunes the corpus scan to the
+        hive partitions the scheduled keys hit.  File count is
+        part_buckets × n_buckets — each (pbucket, bucket) pair is one
+        file, the layout a real cluster writes once at ingest.
+
         The table registers in the session catalog under a name keyed
-        by (corpus path, bucket count) and its files live in
-        ``corpus_cache_dir`` (default: the state dir), so repeated
-        engines — bench runs, resumes — reuse the layout.  If the files
-        exist but the catalog entry doesn't (new session), the table is
-        re-registered with the same bucket DDL.  The repartition ON the
-        bucket key before write yields one file per bucket (Spark's
-        bucketBy hash == repartition's Murmur3, so no cross-writing).
-        This is the single place the fat html column ever crosses a
-        shuffle — once, at prep, exactly the one-time cost a real
-        cluster pays to bucket a Common-Crawl dump at ingest.
+        by (corpus path, cache root, bucket counts, corpus
+        fingerprint) and its files live in ``corpus_cache_dir``
+        (default: the state dir), so repeated engines — bench runs,
+        resumes — reuse the layout.  If the files exist but the
+        catalog entry doesn't (new session), the table is re-registered
+        with the same DDL (+ partition recovery).  The repartition ON
+        the bucket key before write yields one file per bucket per
+        hive partition (Spark's bucketBy hash == repartition's
+        Murmur3, so no cross-writing).  This is the single place the
+        fat html column ever crosses a shuffle — once, at prep,
+        exactly the one-time cost a real cluster pays to bucket a
+        Common-Crawl dump at ingest.
         """
         import hashlib
 
         cache_root = Path(self.config.corpus_cache_dir or self.state_dir)
+        # The catalog name and the file location must always agree, and
+        # a changed corpus at the same path must never serve a stale
+        # layout (ADVICE.md r2): key on the resolved cache root (two
+        # engines with different state dirs get different table names)
+        # AND a corpus content fingerprint (total size + max mtime of
+        # the parquet files).
+        src = Path(pages_path)
+        files = sorted(f for f in src.rglob("*") if f.is_file()) \
+            if src.is_dir() else [src]
+        fp = f"{sum(f.stat().st_size for f in files)}-" \
+             f"{max((f.stat().st_mtime_ns for f in files), default=0)}"
         key = hashlib.md5(
-            f"{Path(pages_path).resolve()}|{n_buckets}".encode()
+            f"{src.resolve()}|{cache_root.resolve()}|{n_buckets}|"
+            f"{part_buckets}|{fp}".encode()
         ).hexdigest()[:12]
         name = f"ssspark_corpus_{key}"
         loc = cache_root / f"corpus_join_{key}"
         marker = loc / "_layout.json"
         spark = self.spark
         if not marker.exists():
+            df = self.pages.repartition(n_buckets, F.col("url_canon"))
+            writer = df.write.mode("overwrite")
+            if part_buckets:
+                df = df.withColumn(
+                    "pbucket",
+                    F.pmod(F.xxhash64("url_canon"),
+                           F.lit(part_buckets)).cast("int"),
+                )
+                writer = df.write.mode("overwrite").partitionBy("pbucket")
             (
-                self.pages
-                .repartition(n_buckets, F.col("url_canon"))
-                .write.mode("overwrite")
+                writer
                 .bucketBy(n_buckets, "url_canon")
                 .sortBy("url_canon")
                 .option("path", str(loc / "data"))
                 .saveAsTable(name)
             )
-            TableIO._atomic_write_json(marker, {"n_buckets": n_buckets})
+            TableIO._atomic_write_json(
+                marker,
+                {"n_buckets": n_buckets, "part_buckets": part_buckets},
+            )
         elif not spark.catalog.tableExists(name):
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
                 for f in self.pages.schema.fields
             )
+            part_ddl = ""
+            if part_buckets:
+                cols += ", `pbucket` int"
+                part_ddl = "PARTITIONED BY (pbucket) "
             spark.sql(
                 f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"{part_ddl}"
                 f"CLUSTERED BY (url_canon) SORTED BY (url_canon) "
                 f"INTO {n_buckets} BUCKETS "
                 f"LOCATION '{loc / 'data'}'"
             )
+            if part_buckets:
+                spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
         return spark.table(name)
 
     # --- wave-complete marker (cross-table atomicity) -----------------------
@@ -575,7 +641,7 @@ class CrawlEngine:
                         F.col("html"), F.col("lang").alias("page_lang"),
                     )
                 )
-        if cfg.fetch_join == "bucketed":
+        if self.fetch_join == "bucketed":
             # ONE co-located right-outer sort-merge join: the corpus
             # side reads its buckets with no exchange and no sort
             # (bucketBy+sortBy layout); the skinny scheduled side
@@ -583,7 +649,9 @@ class CrawlEngine:
             # No driver-serial broadcast build anywhere — the
             # "broadcast" strategy collects + reships every scheduled
             # key through the driver each wave, which caps scaling at
-            # big waves and OOMs at a 10^10-URL frontier.
+            # big waves and OOMs at a 10^10-URL frontier.  With
+            # corpus_buckets also set, pages_min is already pruned to
+            # the hit hive partitions above — the composed layout.
             fetch_input = pages_min.join(fetch_keys, "url_canon",
                                          "right_outer")
         else:

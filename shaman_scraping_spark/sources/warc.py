@@ -203,9 +203,17 @@ def write_warc_archive(
     def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        tmp = path + ".tmp"
+        # tmp name is per-ATTEMPT, not per-partition: a zombie first
+        # attempt and a speculative/retried attempt of the same
+        # partition must never interleave writes into one tmp file
+        # (ADVICE.md r2) — each attempt writes its own tmp, and the
+        # winning attempt's os.replace publishes atomically to the
+        # deterministic final path (last replace wins; both attempts
+        # wrote identical bytes, so either is correct).
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         idx = {"url": [], "warc_ts": [], "warc_file": [], "offset": [],
                "length": [], "http_status": []}
         wrote = False

@@ -123,8 +123,6 @@ def test_bloom_prefilter_identical_results(
     """Op 12 integration: the flag-gated bloom prefilter must not change
     any output (no false negatives; positives re-check exactly)."""
     state = tmp_path_factory.mktemp("crawl_state_bloom")
-    # fetch_join="broadcast" here keeps the non-default join strategy
-    # e2e-covered (the default "bucketed" path runs in every other test)
     cfg = CrawlConfig(**{
         **config.__dict__, "seen_prefilter": "bloom",
         "bloom_bits": 1 << 18, "fetch_join": "broadcast",
@@ -136,6 +134,32 @@ def test_bloom_prefilter_identical_results(
     assert _engine_emissions(eng) == sorted(sim.emissions)
     got = {r["url_canon"] for r in eng.io.load("seen").collect()}
     assert got == sim.seen
+
+
+def test_composed_bucketed_pruned_fetch_join_identical_results(
+    spark, tiny_corpus_dir, config, sim, tmp_path_factory
+):
+    """VERDICT r2 item 2 e2e gate: the composed corpus layout
+    (bucketed SMJ fetch join + pbucket partition pruning) must produce
+    the identical emission log and seen set as the broadcast default —
+    layout is a physical choice, never a semantic one."""
+    state = tmp_path_factory.mktemp("crawl_state_composed")
+    cfg = CrawlConfig(**{
+        **config.__dict__, "fetch_join": "bucketed",
+        "fetch_join_buckets": 8, "corpus_buckets": 8,
+    })
+    eng = CrawlEngine(
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
+    )
+    eng.run()
+    assert _engine_emissions(eng) == sorted(sim.emissions)
+    got = {r["url_canon"] for r in eng.io.load("seen").collect()}
+    assert got == sim.seen
+    fetched = sorted(
+        (r["url_canon"], r["wave"], r["status"])
+        for r in eng.io.load("fetched").collect()
+    )
+    assert fetched == sorted(sim.fetched)
 
 
 def test_cuckoo_prefilter_identical_results(
