@@ -13,10 +13,18 @@ same spec — tests/test_crawl_e2e.py asserts equality):
 * Each wave models ``wave_seconds`` of wall time; ``discovery_ts`` of
   links found at wave w is ``t0 + (w+1)*wave_seconds`` — a
   deterministic clock, never wall time.
-* Token bucket per host: before wave-w selection,
-  ``tokens = min(bucket_cap, tokens + wave_seconds/crawl_delay)``
-  (crawl_delay 0 → unlimited); quota = floor(tokens); after selection
-  ``tokens -= emitted``.  Hosts start at 0 tokens.
+* Token bucket per host (closed form — drift-free and layout-
+  independent): the stored state is (tokens, wave_updated) where
+  ``tokens`` is the value as of the END of wave ``wave_updated``;
+  hosts register at 0 tokens with wave_updated = discovery_wave - 1.
+  Available tokens at wave w are
+  ``min(bucket_cap, tokens + (w - wave_updated) * wave_seconds/crawl_delay)``
+  (crawl_delay 0 → unlimited); quota = floor(available).  A host that
+  emits n URLs at wave w stores (available - n, w); idle hosts keep
+  their stamp.  The closed form equals the per-wave iterated refill
+  under saturating min, without per-wave float accumulation — so the
+  delta state layout (which evaluates it lazily) and the snapshot
+  layout agree bit-for-bit.
 * robots.txt is resolved out-of-band at the wave start for every host
   present in the frontier (no quota cost, not in the emission log);
   disallowed URLs are dropped and marked seen.
@@ -150,6 +158,30 @@ class CrawlConfig:
     # A frontier that spans all buckets degrades gracefully to the
     # full scan it would need anyway.  None → flat layout.
     corpus_buckets: int | None = None
+    # State-table layout (VERDICT r2 item 4 — per-wave snapshot
+    # rewrites of frontier/host_state were 86% of wave wall at the
+    # 600k corpus and are O(state) write per wave at 10^10 URLs):
+    #   "snapshot" — frontier/host_state rewritten in full every wave
+    #     (simple; fine for short crawls / small frontiers).
+    #   "delta" (default) — per-wave deltas appended through the same
+    #     atomic-manifest machinery as `seen`:
+    #       frontier: only NEW-link additions are written; the live
+    #         frontier is reconstructed at load as
+    #         dedup_urls(union(additions) ∖ seen) — the same windows
+    #         and anti-joins snapshot mode pays at merge time, minus
+    #         the O(frontier) rewrite;
+    #       host_state: only CHANGED hosts (new or emitted) are
+    #         written, stamped with wave_updated; token refill is the
+    #         closed form min(cap, tokens + gap·rate) at read time.
+    #     Compacted every compact_every waves so the union stays
+    #     bounded.  Both layouts produce byte-identical emission logs
+    #     (twin-tested); resume works in both.
+    state_layout: str = "delta"
+    # Delta-mode compaction interval: every K waves the frontier /
+    # host_state / seen append chains are rewritten into one data dir
+    # (frontier: seen-filtered + deduped; host_state: latest row per
+    # host), bounding per-wave union width at K dirs.  None → never.
+    compact_every: int | None = 8
     # partition count of the canonical corpus cache.  Sized by DATA
     # (≈ bytes/64MB), not by core count — every wave's fetch-join and
     # extraction stages scan this cache, so an inflated count multiplies

@@ -122,30 +122,40 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
                 robots_cache[h] = ([], cfg.default_crawl_delay)
         return robots_cache[h]
 
-    def ensure_host(h: str) -> None:
+    def ensure_host(h: str, wave: int) -> None:
         if h in host_state:
             return
         rules, delay = robots_of(h)
+        # closed-form clock (config.py spec): tokens are as-of END of
+        # wave_updated; new hosts register at 0 as of the wave before
+        # discovery so their first refill gap is 1
         host_state[h] = {
             "rules": rules, "delay": delay, "tokens": 0.0, "budget": 0,
+            "wave_updated": wave - 1,
         }
 
     for wave in range(cfg.max_waves):
         if not frontier:
             res.waves_run = wave
             return res
-        # 1. refill
+        # 1. refill — closed form, one saturating step over the whole
+        # gap (config.py wave-clock spec; the engine's lazy-refill
+        # arithmetic is the SAME expression, so floats round
+        # identically in every layout)
         for c in frontier:
-            ensure_host(_host_of(c))
+            ensure_host(_host_of(c), wave)
         quotas: dict[str, int] = {}
+        avail: dict[str, float] = {}
         for h, st in sorted(host_state.items()):
+            gap = wave - st["wave_updated"]
             if st["delay"] > 0:
-                st["tokens"] = min(
-                    cfg.bucket_cap, st["tokens"] + cfg.wave_seconds / st["delay"]
+                avail[h] = min(
+                    cfg.bucket_cap,
+                    st["tokens"] + gap * (cfg.wave_seconds / st["delay"]),
                 )
-                q = math.floor(st["tokens"])
+                q = math.floor(avail[h])
             else:
-                st["tokens"] = cfg.bucket_cap
+                avail[h] = cfg.bucket_cap
                 q = UNLIMITED_QUOTA
             if cfg.max_pages_per_host is not None:
                 q = min(q, max(0, cfg.max_pages_per_host - st["budget"]))
@@ -297,11 +307,13 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
 
         res.wave_totals.append((wave, fetch_count, wave_bytes))
 
-        # 6. spend tokens
+        # 6. spend tokens: emitting hosts store (available - n) with a
+        # fresh stamp; idle hosts keep their stamp (closed-form spec)
         for h, n in emitted_by_host.items():
             st = host_state[h]
             if st["delay"] > 0:
-                st["tokens"] -= n
+                st["tokens"] = avail[h] - n
+            st["wave_updated"] = wave
             st["budget"] += n
 
         # 7. frontier merge: (remaining ∪ discoveries) ∖ seen, min-key dedup

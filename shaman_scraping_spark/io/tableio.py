@@ -176,6 +176,40 @@ class TableIO:
         self._atomic_write_json(self._manifest_path(table, wave), manifest)
         self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
 
+    def compact(self, table: str, transform=None) -> bool:
+        """Rewrite an append table's accumulated data_dirs into ONE
+        directory and repoint the latest manifest at it (VERDICT r2
+        item 6) — the manual analogue of an Iceberg rewrite_data_files.
+
+        *transform* optionally maps the unioned DataFrame before the
+        rewrite (e.g. frontier: seen-filter + dedup; host_state:
+        latest row per host) — the table's logical content under its
+        reader is unchanged, only materialized.
+
+        Crash-safe via the same atomic-rename pattern as commit():
+        data files land in ``data-NNNNNNc`` first; the manifest rename
+        is the only publish point, so a crash mid-compaction leaves
+        the previous manifest (and its dirs) fully intact.  Superseded
+        dirs are NOT deleted — older manifests still reference them
+        (time travel / load_delta read-back), exactly Iceberg's
+        snapshot-expiry separation.  Returns True if a rewrite ran.
+        """
+        if self.table_format == "iceberg":
+            return False  # Iceberg compacts via its own maintenance
+        m = self.read_manifest(table)
+        if m is None or (len(m["data_dirs"]) <= 1 and transform is None):
+            return False
+        wave = m["wave"]
+        df = self.load(table, wave)
+        if transform is not None:
+            df = transform(df)
+        cdir = self._tdir(table) / f"data-{wave:06d}c"
+        df.write.mode("overwrite").parquet(str(cdir))
+        m2 = {**m, "data_dirs": [cdir.name], "compacted": True,
+              "total_rows": self._dir_row_count(cdir)}
+        self._atomic_write_json(self._manifest_path(table, wave), m2)
+        return True
+
     @staticmethod
     def _dir_row_count(data_dir: Path) -> int:
         """Row count of a parquet dir from file footers (no Spark job)."""

@@ -31,7 +31,7 @@ Parse spec (pinned; oracle simulator mirrors it):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BooleanType, DoubleType, StringType, StructField, StructType,
@@ -245,18 +245,29 @@ def apply_robots_filter(frontier: DataFrame, host_state: DataFrame) -> DataFrame
 
 def refill_tokens(
     host_state: DataFrame, wave_seconds: float, bucket_cap: float,
-    unlimited_quota: int,
+    unlimited_quota: int, waves=1,
 ) -> DataFrame:
     """Token-bucket refill + integer quota (op 17; pure Catalyst).
 
-    tokens' = min(cap, tokens + wave_seconds/delay)  (delay > 0)
+    tokens' = min(cap, tokens + waves * wave_seconds/delay)  (delay > 0)
     quota   = floor(tokens')        delay == 0 → unlimited
+
+    *waves* — refill periods to apply: an int, or a per-row Column of
+    wave gaps (the closed-form lazy refill the delta state layout
+    uses, config.py wave-clock spec).  Saturating min makes the closed
+    form equal the iterated per-wave refill; the multiply-once
+    arithmetic (gap * (wave_seconds / delay)) is the pinned spec, so
+    every implementation — here, the snapshot layout, the sequential
+    simulator — rounds identically.
     """
+    gap = waves if isinstance(waves, Column) else F.lit(waves)
     tokens = F.when(
         F.col("crawl_delay") > 0,
         F.least(
             F.lit(float(bucket_cap)),
-            F.col("tokens") + F.lit(float(wave_seconds)) / F.col("crawl_delay"),
+            F.col("tokens")
+            + gap.cast("double")
+            * (F.lit(float(wave_seconds)) / F.col("crawl_delay")),
         ),
     ).otherwise(F.lit(float(bucket_cap)))
     quota = F.when(

@@ -55,10 +55,10 @@ from shaman_scraping_spark.functions.html import make_process_html_udf
 from shaman_scraping_spark.functions.url import with_url_columns
 from shaman_scraping_spark.io.tableio import TableIO
 from shaman_scraping_spark.operators.frontier import (
-    FRONTIER_COLS, SEEN_KEY, anti_join_seen, dedup_urls, merge_frontier,
+    FRONTIER_COLS, SEEN_KEY, anti_join_seen, dedup_urls,
 )
 from shaman_scraping_spark.operators.politeness import (
-    apply_robots_filter, build_host_state, refill_tokens, spend_tokens,
+    apply_robots_filter, build_host_state, refill_tokens,
 )
 from shaman_scraping_spark.operators.topk import per_host_topk
 
@@ -168,6 +168,20 @@ class CrawlEngine:
         self.io = TableIO(spark, state_dir)
         self.state_dir = Path(state_dir)
         self.record_emission = record_emission
+        if config.state_layout not in ("snapshot", "delta"):
+            raise ValueError(f"unknown state_layout: {config.state_layout}")
+        self.state_layout = config.state_layout
+        # a state dir is laid out for exactly one layout — resuming it
+        # under the other would misread frontier/host_state manifests
+        lp = self.state_dir / "_engine.json"
+        if lp.exists():
+            got = json.loads(lp.read_text()).get("state_layout")
+            if got != self.state_layout:
+                raise ValueError(
+                    f"state dir was written with state_layout={got!r}; "
+                    f"config asks for {self.state_layout!r} — clear the "
+                    "state dir or match the existing layout"
+                )
         # Corpus strategy (measured, see BENCH/BASELINE.md notes):
         # the fat html column is NEVER cached and NEVER shuffled —
         # caching 6 GB of columnar-compressed html cost 55 s up-front
@@ -440,16 +454,58 @@ class CrawlEngine:
     def _marker_path(self) -> Path:
         return self.state_dir / "wave-complete.json"
 
-    def _mark_complete(self, wave: int) -> None:
+    def _mark_complete(self, wave: int,
+                       frontier_empty: bool | None = None) -> None:
+        """*frontier_empty* (delta layout): whether the NEXT wave's
+        frontier is empty, recorded here because the delta layout has
+        no per-wave frontier snapshot whose manifest row count could
+        answer it for free."""
+        obj: dict = {"wave": wave}
+        if frontier_empty is not None:
+            obj["frontier_empty"] = bool(frontier_empty)
         tmp = self._marker_path().with_suffix(".tmp")
-        tmp.write_text(json.dumps({"wave": wave}))
+        tmp.write_text(json.dumps(obj))
         os.rename(tmp, self._marker_path())
 
-    def last_complete_wave(self) -> int | None:
+    def _marker_info(self) -> dict | None:
         p = self._marker_path()
         if not p.exists():
             return None
-        return json.loads(p.read_text())["wave"]
+        return json.loads(p.read_text())
+
+    def last_complete_wave(self) -> int | None:
+        mi = self._marker_info()
+        return None if mi is None else mi["wave"]
+
+    # --- state loads (layout-aware) -----------------------------------------
+
+    @staticmethod
+    def _latest_host_rows(df: DataFrame) -> DataFrame:
+        """Delta layout: collapse appended host rows to the newest
+        (host_state rows are written only when a host changes)."""
+        w = Window.partitionBy("host").orderBy(F.col("wave_updated").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _load_host_state(self, wave: int) -> DataFrame:
+        hs = self.io.load("host_state", wave)
+        if self.state_layout == "delta":
+            hs = self._latest_host_rows(hs)
+        return hs
+
+    def _load_frontier(self, wave: int, seen: DataFrame) -> DataFrame:
+        """snapshot: the committed frontier verbatim.  delta: the live
+        frontier reconstructed as dedup_urls(union(additions) ∖ seen)
+        — the same anti-join + window the snapshot layout runs at
+        merge time, shifted to load time so each wave WRITES only its
+        additions (VERDICT r2 item 4)."""
+        fr = self.io.load("frontier", wave)
+        if self.state_layout != "delta":
+            return fr
+        return dedup_urls(anti_join_seen(fr.select(*FRONTIER_COLS), seen))
 
     # --- initialization -----------------------------------------------------
 
@@ -467,7 +523,9 @@ class CrawlEngine:
             .withColumn("wave_discovered", F.lit(0))
         )
         frontier = dedup_urls(frontier).filter(scope_predicate(cfg))
-        self.io.commit("frontier", frontier.select(*FRONTIER_COLS), wave=0)
+        state_mode = "append" if self.state_layout == "delta" else "snapshot"
+        self.io.commit("frontier", frontier.select(*FRONTIER_COLS), wave=0,
+                       mode=state_mode)
         empty_seen = self.spark.createDataFrame(
             [], "url_hash long, url_canon string"
         )
@@ -475,10 +533,22 @@ class CrawlEngine:
         empty_hs = self.spark.createDataFrame(
             [],
             "host string, rules array<struct<allow:boolean,prefix:string>>, "
-            "crawl_delay double, tokens double, budget_used long",
+            "crawl_delay double, tokens double, budget_used long, "
+            "wave_updated int",
         )
-        self.io.commit("host_state", empty_hs, wave=0)
-        self._mark_complete(-1)  # no wave executed yet; wave 0 inputs ready
+        self.io.commit("host_state", empty_hs, wave=0, mode=state_mode)
+        TableIO._atomic_write_json(
+            self.state_dir / "_engine.json",
+            {"state_layout": self.state_layout},
+        )
+        # no wave executed yet; wave-0 inputs ready.  The seed delta is
+        # the whole frontier, so its manifest count answers emptiness
+        # in both layouts.
+        self._mark_complete(
+            -1,
+            frontier_empty=(self.io.row_count("frontier", 0) == 0)
+            if self.state_layout == "delta" else None,
+        )
 
     # --- one wave -----------------------------------------------------------
 
@@ -499,16 +569,31 @@ class CrawlEngine:
                 _last = now
 
         cfg = self.config
-        frontier = self.io.load("frontier", wave)
         seen = self.io.load("seen", wave)
-        host_state = self.io.load("host_state", wave)
+        host_state = self._load_host_state(wave)
+        frontier = self._load_frontier(wave, seen)
 
-        # frontier emptiness comes free from the manifest row count
-        # (recorded at commit time from parquet footers) — r1 burned a
-        # full isEmpty() Spark action per wave here
-        n_frontier = self.io.row_count("frontier", wave)
+        # frontier emptiness comes free without a Spark action — r1
+        # burned a full isEmpty() per wave here.  snapshot layout: the
+        # manifest row count recorded from parquet footers at commit
+        # time.  delta layout: the previous wave recorded it in the
+        # wave-complete marker (the frontier has no per-wave snapshot
+        # to count); a marker from an older engine version falls back
+        # to one authoritative isEmpty().
+        if self.state_layout == "delta":
+            mi = self._marker_info()
+            if mi is not None and mi.get("wave") == wave - 1 \
+                    and "frontier_empty" in mi:
+                empty = mi["frontier_empty"]
+            else:
+                empty = frontier.isEmpty()
+        else:
+            n_frontier = self.io.row_count("frontier", wave)
+            empty = n_frontier == 0 or (
+                n_frontier is None and frontier.isEmpty()
+            )
         _t("load")
-        if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
+        if empty:
             self._commit_empty(wave, seen, host_state)
             return 0
 
@@ -529,10 +614,18 @@ class CrawlEngine:
             )
             .withColumn("tokens", F.lit(0.0))
             .withColumn("budget_used", F.lit(0).cast("long"))
+            .withColumn("wave_updated", F.lit(wave - 1).cast("int"))
         )
         host_state = host_state.unionByName(new_state)
+        # closed-form lazy refill (config.py wave-clock spec): stored
+        # tokens are as-of END of wave_updated; available-now applies
+        # the whole gap in one saturating step.  tokens_stamp keeps
+        # the stored value so idle hosts commit UNCHANGED rows — the
+        # delta layout writes only hosts that actually changed.
+        host_state = host_state.withColumn("tokens_stamp", F.col("tokens"))
         host_state = refill_tokens(
-            host_state, cfg.wave_seconds, cfg.bucket_cap, UNLIMITED_QUOTA
+            host_state, cfg.wave_seconds, cfg.bucket_cap, UNLIMITED_QUOTA,
+            waves=F.lit(wave) - F.col("wave_updated"),
         )
         if cfg.max_pages_per_host is not None:
             host_state = host_state.withColumn(
@@ -740,6 +833,16 @@ class CrawlEngine:
             # referenced by the seen/frontier/sketch jobs — persist so
             # the hop subtrees execute once, not once per commit
             seen_delta = seen_delta.persist()
+            # a hop target fetched this wave may coincide with a
+            # quota-starved `remaining` row — it is seen now and must
+            # not re-enter the frontier.  The unprobed merge path's
+            # anti-join against seen_next already drops it; the probed
+            # path carried `remaining` through unfiltered (r2 latent
+            # bug), and the delta layout's emptiness count would
+            # overcount it.  remaining ∩ (scheduled ∪ blocked) = ∅ by
+            # construction, so anti-joining the whole delta only
+            # removes hop rows.
+            remaining = remaining.join(seen_delta, SEEN_KEY, "left_anti")
         seen_next = seen.unionByName(seen_delta)
         # op 12: cheap membership probe before the exact anti-join.
         # Definitely-unseen links (no false negatives) skip the
@@ -789,22 +892,65 @@ class CrawlEngine:
                 probed.filter(F.col("maybe_seen")).drop("maybe_seen"),
                 seen_next,
             )
-            frontier_next = dedup_urls(
-                remaining.select(*FRONTIER_COLS)
-                .unionByName(definite)
-                .unionByName(maybe)
-            )
+            # the genuinely-new links of this wave (unseen, probe-
+            # verified); in-wave dups collapse here so the delta
+            # append stays minimal
+            fresh = dedup_urls(definite.unionByName(maybe))
         else:
-            frontier_next = merge_frontier(remaining, new_links, seen_next)
+            fresh = anti_join_seen(
+                dedup_urls(new_links.select(*FRONTIER_COLS)), seen_next
+            )
+        if self.state_layout == "delta":
+            frontier_out = fresh           # append: additions only
+        else:
+            # full next-frontier snapshot; remaining rows carry
+            # earlier (depth, discovery_ts) than any rediscovery in
+            # fresh, so dedup_urls keeps them (merge_frontier rule)
+            frontier_out = dedup_urls(
+                remaining.select(*FRONTIER_COLS).unionByName(fresh)
+            )
         # per-host emitted counts stay a DataFrame end-to-end (r1
         # collected them to the driver and re-shipped via
         # createDataFrame — a driver OOM at web-scale host counts)
         emitted = scheduled.groupBy("host").agg(
             F.count("*").alias("emitted_count")
         )
-        host_state_next = spend_tokens(
-            host_state.drop("quota"), emitted
-        ).select("host", "rules", "crawl_delay", "tokens", "budget_used")
+        # spend under the closed-form clock: hosts that emitted store
+        # (available - emitted, wave); idle hosts keep their stamp
+        # unchanged — so a delta commit of only the changed rows loses
+        # nothing, and the snapshot layout stores the same values.
+        host_state_next = (
+            host_state.drop("quota")
+            .join(F.broadcast(emitted), "host", "left")
+            .withColumn("__emit", F.coalesce(F.col("emitted_count"), F.lit(0)))
+            .withColumn(
+                "tokens",
+                F.when(
+                    F.col("emitted_count").isNotNull(),
+                    F.when(F.col("crawl_delay") > 0,
+                           F.col("tokens") - F.col("__emit"))
+                    .otherwise(F.col("tokens")),
+                ).otherwise(F.col("tokens_stamp")),
+            )
+            .withColumn(
+                "wave_updated",
+                F.when(F.col("emitted_count").isNotNull(),
+                       F.lit(wave).cast("int"))
+                .otherwise(F.col("wave_updated")),
+            )
+            .withColumn("budget_used", F.col("budget_used") + F.col("__emit"))
+            .select("host", "rules", "crawl_delay", "tokens",
+                    "budget_used", "wave_updated")
+        )
+        if self.state_layout == "delta":
+            changed_hosts = new_state.select("host").unionByName(
+                emitted.select("host")
+            ).distinct()
+            host_state_out = host_state_next.join(
+                changed_hosts, "host", "left_semi"
+            )
+        else:
+            host_state_out = host_state_next
 
         # 7. lineage: per-partition per-wave rows (SURVEY.md §2A op 6),
         # from the read-back slice (pruned scan: n_bytes only)
@@ -825,15 +971,16 @@ class CrawlEngine:
         # strictly after every commit returns, and per-table manifests
         # chain from waves strictly before this one, so any partial
         # subset of committed tables is invisible to resume.
+        state_mode = "append" if self.state_layout == "delta" else "snapshot"
         commits = [
             ("lineage", lambda: self.io.commit(
                 "lineage", lineage, wave, mode="append")),
             ("seen", lambda: self.io.commit(
                 "seen", seen_delta, wave + 1, mode="append")),
             ("frontier", lambda: self.io.commit(
-                "frontier", frontier_next, wave + 1)),
+                "frontier", frontier_out, wave + 1, mode=state_mode)),
             ("host_state", lambda: self.io.commit(
-                "host_state", host_state_next, wave + 1)),
+                "host_state", host_state_out, wave + 1, mode=state_mode)),
         ]
         if cfg.warc_dir:
             # WARC archive tee (op 4): part-files written as a side
@@ -905,7 +1052,27 @@ class CrawlEngine:
             for name, fut in futures.items():
                 fut.result()  # re-raise: no marker if any commit failed
         _t("state-commits")
-        self._mark_complete(wave)
+        if self.state_layout == "delta":
+            # record next-wave frontier emptiness in the marker: empty
+            # iff no additions were appended (free: manifest count)
+            # AND nothing remained unscheduled (isEmpty over the
+            # already-persisted `ranked` — no recompute, no shuffle)
+            n_added = self.io.row_count("frontier", wave + 1) or 0
+            frontier_empty = n_added == 0 and remaining.isEmpty()
+            self._mark_complete(wave, frontier_empty=frontier_empty)
+            if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
+                seen_now = self.io.load("seen", wave + 1)
+                self.io.compact(
+                    "frontier",
+                    transform=lambda df: dedup_urls(anti_join_seen(
+                        df.select(*FRONTIER_COLS), seen_now)),
+                )
+                self.io.compact("host_state",
+                                transform=self._latest_host_rows)
+                self.io.compact("seen")
+                _t("compact")
+        else:
+            self._mark_complete(wave)
         ranked.unpersist()
         if self.redirect_closure is not None:
             fetch_keys.unpersist()
@@ -956,13 +1123,25 @@ class CrawlEngine:
                       host_state: DataFrame) -> None:
         """Frontier drained: carry state forward so resume stays valid."""
         self.io.commit("seen", seen.limit(0), wave + 1, mode="append")
-        self.io.commit(
-            "frontier",
-            self.spark.createDataFrame([], FRONTIER_SCHEMA),
-            wave + 1,
-        )
-        self.io.commit("host_state", host_state, wave + 1)
-        self._mark_complete(wave)
+        if self.state_layout == "delta":
+            # append layout: empty deltas keep the manifest chain
+            # intact; the accumulated state needs no carrying
+            self.io.commit(
+                "frontier",
+                self.spark.createDataFrame([], FRONTIER_SCHEMA),
+                wave + 1, mode="append",
+            )
+            self.io.commit("host_state", host_state.limit(0), wave + 1,
+                           mode="append")
+            self._mark_complete(wave, frontier_empty=True)
+        else:
+            self.io.commit(
+                "frontier",
+                self.spark.createDataFrame([], FRONTIER_SCHEMA),
+                wave + 1,
+            )
+            self.io.commit("host_state", host_state, wave + 1)
+            self._mark_complete(wave)
 
     # --- full run / resume --------------------------------------------------
 
@@ -981,6 +1160,16 @@ class CrawlEngine:
             n = self.run_wave(w)
             waves_run += 1
             if n == 0:
+                if self.state_layout == "delta":
+                    mi = self._marker_info() or {}
+                    fe = mi.get("frontier_empty")
+                    if fe is None:  # marker from an older engine
+                        fe = self._load_frontier(
+                            w + 1, self.io.load("seen", w + 1)
+                        ).isEmpty()
+                    if fe:
+                        break
+                    continue
                 nf = self.io.row_count("frontier", w + 1)
                 if nf == 0:
                     break

@@ -27,6 +27,40 @@ def test_manifest_records_row_counts(spark, tmp_path):
     assert io.load("a").count() == 17
 
 
+def test_compact_append_chain(spark, tmp_path):
+    """VERDICT r2 item 6: 20-wave append → compact → same rows under
+    the reader, ONE data dir in the latest manifest, further appends
+    chain from the compacted dir, resume (load at an old wave) still
+    works because superseded dirs are not deleted."""
+    io = TableIO(spark, tmp_path)
+    for w in range(20):
+        io.commit("a", spark.range(w * 10, w * 10 + 10), wave=w,
+                  mode="append")
+    assert len(io.read_manifest("a")["data_dirs"]) == 20
+    before = sorted(r["id"] for r in io.load("a").collect())
+    assert io.compact("a") is True
+    m = io.read_manifest("a")
+    assert m["data_dirs"] == ["data-000019c"] and m["compacted"]
+    assert m["total_rows"] == 200
+    assert sorted(r["id"] for r in io.load("a").collect()) == before
+    # num_rows keeps its per-wave-delta meaning
+    assert io.row_count("a", 19) == 10
+    # time travel to a pre-compaction wave still reads the old dirs
+    assert io.load("a", 5).count() == 60
+    # appends continue from the compacted manifest
+    io.commit("a", spark.range(200, 203), wave=20, mode="append")
+    assert io.load("a").count() == 203
+    assert len(io.read_manifest("a")["data_dirs"]) == 2
+    # a transform applied during compaction reshapes the materialized
+    # content (the delta state layout's frontier/host_state rewrite)
+    assert io.compact(
+        "a", transform=lambda df: df.filter("id % 2 = 0")
+    ) is True
+    assert io.load("a").count() == 102
+    # single-dir + no transform → no-op
+    assert io.compact("a") is False
+
+
 def test_iceberg_dispatch_requires_catalog(spark, tmp_path):
     """The iceberg branch is the documented one-line swap for real
     clusters; without the runtime jar + catalog conf it must fail FAST
