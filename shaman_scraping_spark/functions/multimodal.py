@@ -95,6 +95,41 @@ def _try_real_decoder():
         return None
 
 
+def decode_one(raw: bytes, pil=None) -> tuple[int, int, int]:
+    """(width, height, channels) of one payload: the PIL branch when a
+    decoder is supplied/importable, else the deterministic fake codec.
+    Split out of the mapInPandas closure so the REAL branch is unit-
+    testable wherever PIL exists (skipped-not-dead in the sandbox —
+    tests/test_multimodal.py importorskip gate)."""
+    if pil is not None:
+        import io
+        try:
+            im = pil.open(io.BytesIO(raw))
+            return im.width, im.height, len(im.getbands())
+        except Exception:  # noqa: BLE001 — not a PIL-readable payload
+            pass
+    return _decode_fake(raw)
+
+
+def resize_one(raw: bytes, target_w: int, target_h: int,
+               pil=None) -> bytes:
+    """One resized payload: PIL re-encode (format preserved) when a
+    decoder is supplied, else the fake-header rewrite."""
+    if pil is not None:
+        import io
+        try:
+            im = pil.open(io.BytesIO(raw))
+            fmt = im.format
+            buf = io.BytesIO()
+            im.resize((target_w, target_h)).save(buf, format=fmt)
+            return buf.getvalue()
+        except Exception:  # noqa: BLE001 — not a PIL-readable payload
+            pass
+    _w, _h, c = _decode_fake(raw)
+    fmt = next(n for n, m in _MAGIC.items() if raw.startswith(m))
+    return fake_media_payload(fmt, target_w, target_h, c)
+
+
 # --- Arrow-batched operators ------------------------------------------------
 
 def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -113,16 +148,7 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         for pdf in batches:
             ws, hs, cs = [], [], []
             for raw in pdf[content_col]:
-                if pil is not None:  # pragma: no cover
-                    import io
-                    try:
-                        im = pil.open(io.BytesIO(raw))
-                        ws.append(im.width); hs.append(im.height)
-                        cs.append(len(im.getbands()))
-                        continue
-                    except Exception:  # noqa: BLE001
-                        pass
-                w, h, c = _decode_fake(raw)
+                w, h, c = decode_one(raw, pil)
                 ws.append(w); hs.append(h); cs.append(c)
             pdf = pdf.copy()
             pdf["width"] = pd.array(ws, dtype="int32")
@@ -137,23 +163,20 @@ def resize_image(
     df: DataFrame, target_w: int, target_h: int,
     content_col: str = "content",
 ) -> DataFrame:
-    """Resize: real plumbing, stub transform (rewrites the fake header
-    with the target dims; PIL path would re-encode)."""
+    """Resize: real plumbing; transform is PIL re-encode when
+    importable, else the fake-header rewrite (resize_one)."""
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _try_real_decoder()
         for pdf in batches:
-            out = []
-            for raw in pdf[content_col]:
-                _w, _h, c = _decode_fake(raw)
-                fmt = next(
-                    n for n, m in _MAGIC.items() if raw.startswith(m)
-                )
-                out.append(fake_media_payload(fmt, target_w, target_h, c))
             pdf = pdf.copy()
-            pdf[content_col] = out
+            pdf[content_col] = [
+                resize_one(raw, target_w, target_h, pil)
+                for raw in pdf[content_col]
+            ]
             yield pdf
 
     return df.mapInPandas(fn, fields)

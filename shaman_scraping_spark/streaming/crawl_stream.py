@@ -68,17 +68,48 @@ def dedup_within_watermark(
 
 # --- op 38: stateful per-host token bucket ---------------------------------
 
+def token_bucket_step(
+    tokens: float, last_ts: float, now_ts: float,
+    refill_per_sec: float, bucket_cap: float,
+) -> tuple[float, float]:
+    """One refill step of the streaming token bucket — EVENT time, not
+    wall clock (VERDICT r2 item 5: ``time.time()`` here broke the
+    determinism discipline the batch engine holds everywhere, and made
+    the streaming quota path untestable against the simulator).
+
+    ``now_ts`` is the micro-batch's event time (max discovery_ts of
+    the group's rows); late batches (now < last) refill nothing and
+    never regress the stored clock.  Returns (available_tokens,
+    new_last_ts).  Pure function → unit-testable against the batch
+    wave-clock math without a streaming query.
+    """
+    gap = max(0.0, now_ts - last_ts)
+    return (
+        min(bucket_cap, tokens + gap * refill_per_sec),
+        max(last_ts, now_ts),
+    )
+
+
 def stateful_token_bucket(
     frontier_stream: DataFrame,
     refill_per_sec: float,
     bucket_cap: float = 100.0,
+    first_grant_s: float = 1.0,
 ):
     """Per-host token bucket that survives across micro-batches.
 
     Output rows carry ``scheduled: boolean`` — True for rows within the
     host's budget this batch (ordered by depth, discovery_ts,
     url_canon), False for rows the caller must re-enqueue.
-    State: (tokens: double, last_batch_unix: double).
+    State: (tokens: double, last_event_unix: double).
+
+    The clock is EVENT time (max discovery_ts per group per batch), so
+    replaying the same micro-batches yields the same schedule — with
+    discovery_ts stamped on the wave clock (t0 + w·wave_seconds) and
+    refill_per_sec = 1/crawl_delay the quota math equals the batch
+    engine's refill_tokens (pytest-asserted).  A brand-new host gets
+    ``first_grant_s`` seconds of refill (its state has no prior
+    event-time reference).
     """
     out_schema = (
         "host string, url_canon string, depth int, scheduled boolean"
@@ -88,12 +119,14 @@ def stateful_token_bucket(
     def fn(key, pdfs, state: GroupState):
         host = key[0]
         rows = pd.concat(list(pdfs), ignore_index=True)
-        now = time.time()
+        now = float(rows["discovery_ts"].max().timestamp())
         if state.exists:
             tokens, last = state.get
-            tokens = min(bucket_cap, tokens + (now - last) * refill_per_sec)
+            tokens, now = token_bucket_step(
+                tokens, last, now, refill_per_sec, bucket_cap
+            )
         else:
-            tokens = min(bucket_cap, refill_per_sec)
+            tokens = min(bucket_cap, first_grant_s * refill_per_sec)
         rows = rows.sort_values(
             ["depth", "discovery_ts", "url_canon"]
         ).reset_index(drop=True)

@@ -146,6 +146,45 @@ def test_watermark_dedup_stream(spark, tmp_path):
         q.stop()
 
 
+def test_token_bucket_step_matches_batch_wave_clock():
+    """VERDICT r2 item 5 gate: the streaming bucket's event-time refill
+    kernel, driven on the wave clock (event time = w * wave_seconds,
+    refill_per_sec = 1/crawl_delay), yields the same per-wave quota as
+    the batch engine's closed-form refill (config.py wave-clock spec) —
+    including idle-gap waves and cap saturation.  Exact-rate delays
+    keep both roundings identical (the same discipline the corpus
+    generator uses)."""
+    import math
+
+    from shaman_scraping_spark.streaming.crawl_stream import (
+        token_bucket_step,
+    )
+
+    ws, cap = 10.0, 20.0
+    for delay in (1.0, 2.0, 5.0):
+        rate_s = 1.0 / delay
+        bt, bw = 0.0, -1        # batch: (tokens, wave_updated)
+        st, sl = 0.0, -1 * ws   # stream: (tokens, last_event_seconds)
+        # (wave, emission demand) — includes idle gaps (2→7) that
+        # exercise multi-period refill and saturation at the cap
+        for w, demand in [(0, 1), (2, 3), (3, 0), (7, 200), (8, 1)]:
+            gap = w - bw
+            avail_b = min(cap, bt + gap * (ws / delay))
+            q_b = math.floor(avail_b)
+            avail_s, sl = token_bucket_step(st, sl, w * ws, rate_s, cap)
+            q_s = int(avail_s)
+            assert q_s == q_b, (delay, w)
+            n = min(demand, q_b)
+            # batch stores only on emission; stream stores every batch
+            # (saturating chain ≡ closed form for exact rates)
+            if n:
+                bt, bw = avail_b - n, w
+            st = avail_s - n
+    # late/out-of-order batch: no refill, clock never regresses
+    avail, last = token_bucket_step(3.0, 100.0, 90.0, 1.0, 20.0)
+    assert avail == 3.0 and last == 100.0
+
+
 @pytest.mark.slow
 def test_stateful_token_bucket(spark, tmp_path):
     src = tmp_path / "src"
