@@ -572,6 +572,15 @@ class CrawlEngine:
         seen = self.io.load("seen", wave)
         host_state = self._load_host_state(wave)
         frontier = self._load_frontier(wave, seen)
+        wave_persists = []
+        if self.state_layout == "delta":
+            # the reconstructed frontier/host_state are PLANS (union +
+            # anti-join + window), not parquet scans like the snapshot
+            # layout's — and several of the wave's concurrent commit
+            # jobs reference them.  Persist for the wave so the
+            # reconstruction runs once, not once per job.
+            frontier = frontier.persist()
+            wave_persists.append(frontier)
 
         # frontier emptiness comes free without a Spark action — r1
         # burned a full isEmpty() per wave here.  snapshot layout: the
@@ -638,6 +647,11 @@ class CrawlEngine:
                     ),
                 ),
             )
+        if self.state_layout == "delta":
+            # latest-row window + refill over the delta union — shared
+            # by the robots gate, quota_log and host_state commits
+            host_state = host_state.persist()
+            wave_persists.append(host_state)
 
         # 2. robots gate → 3. per-host top-k under quota
         fr = apply_robots_filter(frontier, host_state)
@@ -1074,6 +1088,8 @@ class CrawlEngine:
         else:
             self._mark_complete(wave)
         ranked.unpersist()
+        for df in wave_persists:
+            df.unpersist()
         if self.redirect_closure is not None:
             fetch_keys.unpersist()
         if hop_seen_frames:
