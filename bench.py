@@ -57,7 +57,12 @@ def run_crawl_bench(spark, cpus: int) -> dict:
     corpus = bench_corpus_dir(BENCH_CORPUS_PAGES)
     seeds = tuple(Path(corpus, "seeds.txt").read_text().split())
     state = tempfile.mkdtemp(prefix="ssspark_state_")
-    cfg = CrawlConfig(seeds=seeds, max_waves=BENCH_WAVES)
+    # crawl shuffles are sized by DATA (wave-frontier rows), not by the
+    # query suite's 4×cpus: at a 20k-page corpus each wave moves a few
+    # thousand skinny rows, and surplus shuffle partitions multiply
+    # task-scheduling overhead into every one of the ~10 jobs per wave
+    cfg = CrawlConfig(seeds=seeds, max_waves=BENCH_WAVES,
+                      shuffle_partitions=max(8, BENCH_CORPUS_PAGES // 2500))
     eng = CrawlEngine(spark, cfg, f"{corpus}/pages.parquet", state,
                       record_emission=False)
     t0 = time.monotonic()

@@ -168,6 +168,18 @@ class CrawlEngine:
         self.io = TableIO(spark, state_dir)
         self.state_dir = Path(state_dir)
         self.record_emission = record_emission
+        if config.shuffle_partitions:
+            # a DATA-size knob (frontier/seen rows per wave), not a
+            # core-count knob: the wave loop runs ~10 jobs × several
+            # shuffle stages per wave, so surplus partitions multiply
+            # pure task-scheduling overhead into every one of them
+            # (measured: 128 → 8 partitions cut the 20k-page bench
+            # crawl wall 2.4×; the scan-side parallelism that feeds
+            # the extraction UDF comes from input splits, not this)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(config.shuffle_partitions),
+            )
         if config.state_layout not in ("snapshot", "delta"):
             raise ValueError(f"unknown state_layout: {config.state_layout}")
         self.state_layout = config.state_layout

@@ -116,7 +116,8 @@ def child(args) -> None:
     # count varies between runs, as executor count would on a cluster.
     spark = get_spark(
         "bench-scaling", master=f"local[{args.cpus}]",
-        shuffle_partitions=64,
+        shuffle_partitions=int(os.environ.get(
+            "SPARK_GRAFT_SCALING_SHUFFLE", "32")),
         extra_conf={"spark.ui.showConsoleProgress": "false",
                     "spark.python.worker.reuse": "true"},
     )
