@@ -145,10 +145,21 @@ class TableIO:
         if self.table_format == "iceberg":
             self._commit_iceberg(table, df, wave, mode)
             return
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        profile = _os.environ.get("SSSPARK_PROFILE") == "1"
+        t0 = _time.monotonic()
         tdir = self._tdir(table)
         data_dir = tdir / f"data-{wave:06d}"
         df.write.mode("overwrite").parquet(str(data_dir))
+        t1 = _time.monotonic()
         num_rows = self._dir_row_count(data_dir)
+        if profile:
+            print(f"[tableio {table}/{wave}] write: {t1 - t0:.2f}s "
+                  f"count: {_time.monotonic() - t1:.2f}s",
+                  file=_sys.stderr, flush=True)
 
         if mode == "append":
             # chain from the newest manifest *strictly before* this wave —
