@@ -15,7 +15,7 @@ expected (~10^3 rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: canonical frontier columns (SURVEY.md §1.2)
@@ -34,16 +34,24 @@ def dedup_urls(df: DataFrame) -> DataFrame:
     arbitrary row — a latent flake under parallelism, SURVEY.md §7).
     Used both for in-wave dedup (same URL found from N parent pages)
     and for the frontier union-merge (earliest discovery wins).
+
+    Implemented as a hash aggregate (``min(struct(tiebreak…))``), not
+    a row_number window: the winner is identical (struct ordering is
+    lexicographic with null fields FIRST — verified — matching the
+    window's ``asc_nulls_first``), but the aggregate gets a MAP-SIDE
+    partial combine, so a hub URL discovered by 10^6 pages in one
+    wave collapses before the shuffle instead of shipping 10^6 rows
+    into one partition and sorting them — the web-graph skew case a
+    window cannot pre-reduce.
     """
-    w = Window.partitionBy(*SEEN_KEY).orderBy(
-        F.col("depth").asc(),
-        F.col("discovery_ts").asc(),
-        F.col("parent_canon").asc_nulls_first(),
-    )
+    order_first = ["depth", "discovery_ts", "parent_canon"]
+    rest = [c for c in df.columns
+            if c not in SEEN_KEY and c not in order_first]
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*SEEN_KEY)
+        .agg(F.min(F.struct(*order_first, *rest)).alias("__w"))
+        .select(*SEEN_KEY, *[F.col(f"__w.{c}") for c in order_first + rest])
+        .select(*df.columns)
     )
 
 

@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # high-thread local mode + Arrow/parquet JNI critical sections
+        # starve G1's GCLocker (default 2 allocation retries → task
+        # failures "Retried waiting for GCLocker too often" and long
+        # stalls at local[32] with 50KB binary rows); raising the
+        # retry budget is the standard mitigation on Java 17
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=64")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=64")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -114,12 +114,30 @@ def child(args) -> None:
     # partitions and corpus-cache partitions are DATA-size settings
     # (64 ≈ bytes/64MB), not core-count settings — only the thread
     # count varies between runs, as executor count would on a cluster.
+    extra = {"spark.ui.showConsoleProgress": "false",
+             "spark.python.worker.reuse": "true"}
+    if args.execs:
+        # EXECUTOR mode (the rule's literal N vs 4N): real separate
+        # executor JVMs with their own Python worker pools and heaps,
+        # one shared driver — Spark's local-cluster master.  The
+        # package ships to executors via PYTHONPATH (the spark-submit
+        # --py-files path); locality wait is zeroed (uniform one-box
+        # "rack", waiting only serializes stages); executor heap must
+        # be set explicitly (memPerWorker alone leaves the 1g default
+        # → vectorized-reader OOM on 50KB binary rows).
+        master = f"local-cluster[{args.execs},8,20480]"
+        extra.update({
+            "spark.executorEnv.PYTHONPATH": str(REPO),
+            "spark.executor.memory": "18g",
+            "spark.locality.wait": "0",
+        })
+    else:
+        master = f"local[{args.cpus}]"
     spark = get_spark(
-        "bench-scaling", master=f"local[{args.cpus}]",
+        "bench-scaling", master=master,
         shuffle_partitions=int(os.environ.get(
             "SPARK_GRAFT_SCALING_SHUFFLE", "32")),
-        extra_conf={"spark.ui.showConsoleProgress": "false",
-                    "spark.python.worker.reuse": "true"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     if args.determinism:
@@ -144,26 +162,40 @@ def child(args) -> None:
         .select(canonicalize_url(F.col("url")).alias("c"))
         .filter(F.col("c").isNotNull())
     )
-    n_urls = urls.count()
-    stride = max(1, n_urls // SCALING_SEEDS)
-    seeds = [
-        r["c"] for r in urls.filter(
-            F.pmod(F.xxhash64("c"), F.lit(stride)) == 0
-        ).collect()
-    ]
-    r = crawl_once(spark, corpus, seeds, args.waves)
+    if args.wide:
+        # ONE cluster-sized wave: every URL seeded at once.  At real
+        # frontier scale a wave carries 10^7+ rows; this regime
+        # measures steady-state throughput with per-wave coordination
+        # amortized the way a big cluster's waves amortize it.
+        seeds = [r["c"] for r in urls.distinct().collect()]
+        waves = 1
+    else:
+        n_urls = urls.count()
+        stride = max(1, n_urls // SCALING_SEEDS)
+        seeds = [
+            r["c"] for r in urls.filter(
+                F.pmod(F.xxhash64("c"), F.lit(stride)) == 0
+            ).collect()
+        ]
+        waves = args.waves
+    r = crawl_once(spark, corpus, seeds, waves)
     print(f"CHILD {json.dumps(r)}", flush=True)
     spark.stop()
 
 
 def run_child(cpus: int, pages: int, waves: int,
-              determinism: bool = False, profile: bool = False):
+              determinism: bool = False, profile: bool = False,
+              execs: int = 0, wide: bool = False):
     """Spawn ONE fresh-JVM child: one measured crawl (or one
     determinism run).  Returns (run_result, det_result, profile)."""
     cmd = [
         sys.executable, __file__, "--child", "--cpus", str(cpus),
         "--pages", str(pages), "--waves", str(waves),
     ]
+    if execs:
+        cmd += ["--execs", str(execs)]
+    if wide:
+        cmd.append("--wide")
     if determinism:
         cmd.append("--determinism")
     env = dict(os.environ, PYTHONPATH=str(REPO),
@@ -200,6 +232,80 @@ def run_child(cpus: int, pages: int, waves: int,
     return run_, det, prof
 
 
+def executors_main(args) -> None:
+    """The rule's literal N vs 4N EXECUTORS, on one box: the full
+    crawl engine under local-cluster[1,8] vs local-cluster[4,8]
+    (separate executor JVMs + Python pools, one shared driver), in two
+    regimes:
+
+      * steady  — the 6-wave saturating-seed crawl (56k-URL waves):
+        dominated by per-wave driver coordination, which is CONSTANT
+        in cluster size — the regime a small-wave crawl lives in;
+      * wide    — ONE cluster-sized wave (every URL seeded): per-wave
+        coordination amortized the way 10^7-row cluster waves
+        amortize it.
+
+    Medians over --runs fresh-driver runs each → BENCH/EXECUTORS.md.
+    """
+    report: dict = {}
+    for regime, wide in (("steady", False), ("wide", True)):
+        for execs in (1, 4):
+            walls, urls = [], None
+            for i in range(args.runs):
+                r, _, _ = run_child(8, args.pages, args.waves,
+                                    execs=execs, wide=wide)
+                walls.append(r["wall"])
+                urls = r["urls"]
+                print(f"{regime} execs={execs} run {i}: "
+                      f"{r['wall']:.1f}s", flush=True)
+            report[(regime, execs)] = {
+                "walls": walls, "median": median(walls), "urls": urls,
+            }
+    lines = ["# BENCH/EXECUTORS — N vs 4N executor JVMs (local-cluster)",
+             "",
+             "Full crawl engine, `local-cluster[N,8,20g]` (separate",
+             "executor JVMs + Python pools, shared driver, "
+             "`spark.locality.wait=0`,",
+             f"fresh driver JVM per run, median of {args.runs}).  "
+             "Same corpus and",
+             "protocol as BASELINE.md.", ""]
+    for regime in ("steady", "wide"):
+        r1, r4 = report[(regime, 1)], report[(regime, 4)]
+        t1 = r1["urls"] / r1["median"]
+        t4 = r4["urls"] / r4["median"]
+        eff = t4 / (4 * t1)
+        lines += [
+            f"## {regime} regime",
+            "",
+            "| metric | 1 executor (N) | 4 executors (4N) |",
+            "| --- | --- | --- |",
+            f"| URLs | {r1['urls']} | {r4['urls']} |",
+            f"| median wall | {r1['median']:.1f} s | {r4['median']:.1f} s |",
+            f"| raw walls | {[round(w, 1) for w in r1['walls']]} "
+            f"| {[round(w, 1) for w in r4['walls']]} |",
+            f"| throughput | {t1:.0f} urls/s | {t4:.0f} urls/s |",
+            "",
+            f"**Efficiency** `tput(4N)/(4·tput(N))` = **{eff:.3f}**",
+            "",
+        ]
+    lines += [
+        "Reading: the steady regime is bounded by per-wave driver",
+        "coordination (~50 stages/wave), a cost CONSTANT in executor",
+        "count — on a real cluster it is likewise constant, and at",
+        "10^7-row frontier waves it is amortized by ~200× more per-wave",
+        "work than this 56k-URL bench can generate.  The wide regime",
+        "shows the same engine with coordination amortized; its",
+        "remaining gap is the one shared local disk that absorbs every",
+        "executor's writes (a real cluster writes to per-executor",
+        "disks/HDFS).  See BASELINE.md for the thread-mode protocol",
+        "and the stage-level decomposition.",
+    ]
+    md = Path(REPO, "BENCH", "EXECUTORS.md")
+    md.parent.mkdir(exist_ok=True)
+    md.write_text("\n".join(lines) + "\n")
+    print(f"wrote {md}")
+
+
 def median(xs):
     xs = sorted(xs)
     n = len(xs)
@@ -224,9 +330,16 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=SCALING_WAVES)
     ap.add_argument("--runs", type=int, default=5)   # fresh JVM each
     ap.add_argument("--determinism", action="store_true")
+    ap.add_argument("--execs", type=int, default=0)
+    ap.add_argument("--wide", action="store_true")
+    ap.add_argument("--mode", choices=("threads", "executors"),
+                    default="threads")
     args = ap.parse_args()
     if args.child:
         child(args)
+        return
+    if args.mode == "executors":
+        executors_main(args)
         return
 
     report = {}
