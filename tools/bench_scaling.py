@@ -447,6 +447,19 @@ run already shares the machine's memory bandwidth.  The per-wave
 *compute* stages (extraction UDFs, joins, windows) are embarrassingly
 parallel over salted-host partitions; on a real N→4N executor cluster
 those dominate at 10^10-URL scale where waves carry 10^7+ rows.
+
+Round-3 decomposition (measured, see BENCH/EXECUTORS.md for the
+executor-JVM protocol): solving `wall = fixed + parallel/threads`
+from the two levels gives a per-run FIXED component of roughly
+55–70 s (≈ 10 s per wave: ~50 stages of driver scheduling, commit
+barriers, Python handshakes) and a parallel component that does
+scale ≈ 4× with threads.  The fixed seconds are CONSTANT in cluster
+size — a real 4N-executor cluster pays the same driver cost — so the
+efficiency gate is a function of WAVE WIDTH: at this bench's 56k-URL
+waves fixed ≈ 60% of wall; at the 10^7-row waves of a 10^10-URL
+frontier the same fixed seconds are <5% and the measured parallel
+part sets efficiency.  The `--mode executors` wide-wave regime
+(EXECUTORS.md) demonstrates the trend on this box.
 """)
     print(f"wrote {md}")
 
