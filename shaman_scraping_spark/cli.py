@@ -38,7 +38,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-pages-per-host", type=int, default=None)
     p.add_argument("--master", default=None,
                    help="override master URL (default: env/spark-submit)")
-    p.add_argument("--no-emission-log", action="store_true")
+    # opt-in: the emission log ranks the schedule through ONE window
+    # partition (a test/golden mechanism) — never a production default
+    p.add_argument("--emission-log", action="store_true")
 
 
 def _config_from(args):
@@ -62,7 +64,7 @@ def _config_from(args):
     )
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="shaman_scraping_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -83,8 +85,11 @@ def main(argv: list[str] | None = None) -> int:
     p_gen.add_argument("--pages", type=int, default=20_000)
     p_gen.add_argument("--hosts", type=int, default=50)
     p_gen.add_argument("--seed", type=int, default=42)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
 
     if args.cmd == "gen-corpus":
         from shaman_scraping_spark.corpus.generator import (
@@ -130,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = CrawlEngine(
             spark, cfg, args.pages, args.state,
-            record_emission=not args.no_emission_log,
+            record_emission=args.emission_log,
         )
         waves = eng.run(resume=args.resume)
         n = (eng.io.load("seen") or spark.range(0)).count()

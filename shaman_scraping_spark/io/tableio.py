@@ -68,6 +68,21 @@ class TableIO:
     def _iceberg_name(self, table: str) -> str:
         return f"{self.iceberg_catalog}.crawl_{table}"
 
+    @staticmethod
+    def _iceberg_manifest_obj(table: str, wave: int, mode: str,
+                              snap, parent, summary: dict) -> dict:
+        """Pure manifest-bookkeeping kernel for the Iceberg branch —
+        snapshot-id chaining + num_rows extraction from the snapshot
+        summary — factored out so it is unit-testable without the
+        runtime jar (VERDICT r3 item 8): a cluster swap then fails
+        loudly only on real Iceberg behavior, never on this logic."""
+        n_key = "added-records" if mode == "append" else "total-records"
+        num_rows = int(summary[n_key]) if summary.get(n_key) else 0
+        return {"table": table, "wave": wave, "mode": mode,
+                "iceberg_snapshot_id": snap,
+                "iceberg_parent_snapshot_id": parent,
+                "num_rows": num_rows}
+
     def _commit_iceberg(self, table: str, df: DataFrame, wave: int,
                         mode: str) -> None:
         name = self._iceberg_name(table)
@@ -84,14 +99,10 @@ class TableIO:
             f"SELECT snapshot_id, parent_id, summary FROM {name}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()[0]
-        n_key = "added-records" if mode == "append" else "total-records"
-        num_rows = int(summary[n_key]) if summary.get(n_key) else 0
         self._atomic_write_json(
             self._manifest_path(table, wave),
-            {"table": table, "wave": wave, "mode": mode,
-             "iceberg_snapshot_id": snap,
-             "iceberg_parent_snapshot_id": parent,
-             "num_rows": num_rows},
+            self._iceberg_manifest_obj(table, wave, mode, snap, parent,
+                                       summary),
         )
         self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
 
@@ -105,19 +116,30 @@ class TableIO:
             .table(self._iceberg_name(table))
         )
 
+    @staticmethod
+    def _delta_read_options(snap, parent) -> dict:
+        """Reader options for "rows committed AT this snapshot" (pure,
+        unit-tested without the jar).  Iceberg REJECTS end-snapshot-id
+        without start-snapshot-id, so the table's first commit (parent
+        None — e.g. 'fetched' at wave 0) must read the snapshot in
+        full instead: its entire contents ARE the delta (ADVICE r3)."""
+        if parent is None:
+            return {"snapshot-id": snap}
+        return {"start-snapshot-id": parent, "end-snapshot-id": snap}
+
     def _load_delta_iceberg(self, table: str, wave: int) -> DataFrame | None:
         """Only the rows committed AT *wave*: an Iceberg incremental
-        read bounded by (parent snapshot, wave snapshot].  Append-only
+        read bounded by (parent snapshot, wave snapshot], or a full
+        snapshot read at the table's first commit.  Append-only
         snapshots only — exactly the tables load_delta is used on."""
         m = self.read_manifest(table, wave)
         if m is None:
             return None
-        snap = m["iceberg_snapshot_id"]
-        parent = m.get("iceberg_parent_snapshot_id")
         reader = self.spark.read.format("iceberg")
-        if parent is not None:
-            reader = reader.option("start-snapshot-id", parent)
-        reader = reader.option("end-snapshot-id", snap)
+        for k, v in self._delta_read_options(
+            m["iceberg_snapshot_id"], m.get("iceberg_parent_snapshot_id")
+        ).items():
+            reader = reader.option(k, v)
         return reader.load(self._iceberg_name(table))
 
     # --- manifest plumbing -------------------------------------------------

@@ -73,6 +73,29 @@ FRONTIER_SCHEMA = StructType([
 ])
 
 
+def local_path(path: str) -> Path | None:
+    """*path* as a local ``Path``, or None for scheme-prefixed storage
+    (s3://, hdfs://, …) that ``Path.stat()`` cannot probe — callers
+    must then skip driver-side sizing/fingerprinting (ADVICE r3: the
+    probes crashed engine init on exactly the cluster paths the
+    bucketed strategy targets)."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    if m is None:
+        return Path(path)
+    if m.group(1) == "file":
+        return Path(path[len(m.group(0)) - 1:])
+    return None
+
+
+def _path_bytes(p: Path) -> int:
+    """Total bytes under a local file or directory."""
+    if p.is_dir():
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    return p.stat().st_size if p.exists() else 0
+
+
 def load_canonical_corpus(spark: SparkSession, pages_path: str,
                           pages_partitions: int | None = None) -> DataFrame:
     """Canonicalized, unique-per-canonical-URL pages corpus, persisted.
@@ -82,12 +105,9 @@ def load_canonical_corpus(spark: SparkSession, pages_path: str,
     (earliest capture wins) runs on a skinny projection + semi-join,
     and only when duplicates actually exist.
     """
-    if pages_partitions:
-        total = sum(
-            f.stat().st_size for f in Path(pages_path).rglob("*")
-            if f.is_file()
-        ) or (Path(pages_path).stat().st_size
-              if Path(pages_path).is_file() else 0)
+    src = local_path(pages_path) if pages_partitions else None
+    if pages_partitions and src is not None:
+        total = _path_bytes(src)
         tgt = max(4 << 20, total // pages_partitions)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
     raw = spark.read.parquet(pages_path)
@@ -158,7 +178,7 @@ class CrawlEngine:
         config: CrawlConfig,
         pages_path: str,
         state_dir: str,
-        record_emission: bool = True,
+        record_emission: bool = False,
     ):
         self.spark = spark
         self.config = config
@@ -167,7 +187,21 @@ class CrawlEngine:
                              "(the archive needs the payload bytes)")
         self.io = TableIO(spark, state_dir)
         self.state_dir = Path(state_dir)
+        # opt-in (VERDICT r3 item 3): the emission log's global-order
+        # window is a one-task global sort — a test/golden mechanism,
+        # never a production default (at a 10^7-row wave it serializes
+        # the whole schedule through one partition)
         self.record_emission = record_emission
+        # capture every session conf this engine mutates so close()
+        # restores them — a shared session running other queries after
+        # a bucketed engine must not inherit engine-tuned values
+        # (VERDICT r3 item 4)
+        self._saved_confs: dict[str, str | None] = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.shuffle.partitions",
+                      "spark.sql.files.maxPartitionBytes",
+                      "spark.sql.legacy.bucketedTableScan.outputOrdering")
+        }
         if config.shuffle_partitions:
             # a DATA-size knob (frontier/seen rows per wave), not a
             # core-count knob: the wave loop runs ~10 jobs × several
@@ -210,15 +244,15 @@ class CrawlEngine:
             # corpus bytes decide the strategy (config.py rationale):
             # the SMJ exists to avoid the driver-serial broadcast
             # build, which only matters once the corpus outgrows a
-            # single cheap scan pass
-            src = Path(pages_path)
-            total = (
-                sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
-                if src.is_dir() else src.stat().st_size
-            )
+            # single cheap scan pass.  Non-local corpus paths (s3://,
+            # hdfs://) can't be stat'd from the driver — a remote
+            # corpus is cluster-sized by assumption, so default to the
+            # scale strategy instead of crashing (ADVICE r3).
+            src = local_path(pages_path)
             self.fetch_join = (
                 "broadcast"
-                if total <= config.fetch_join_broadcast_max_bytes
+                if src is not None
+                and _path_bytes(src) <= config.fetch_join_broadcast_max_bytes
                 else "bucketed"
             )
         if self.fetch_join == "bucketed":
@@ -325,10 +359,11 @@ class CrawlEngine:
 
     def close(self) -> None:
         """Release the engine's init-time persisted state (skinny
-        corpus metadata, robots dimension, redirect closure).  Long
-        sessions that construct several engines (benchmarks, tests)
-        MUST call this between engines — leaked cache blocks degrade
-        every later run in the JVM."""
+        corpus metadata, robots dimension, redirect closure) and
+        restore every session conf the engine mutated at init
+        (VERDICT r3 item 4).  Long sessions that construct several
+        engines (benchmarks, tests) MUST call this between engines —
+        leaked cache blocks degrade every later run in the JVM."""
         for df in (getattr(self, "pages_meta", None),
                    getattr(self, "robots_dim", None),
                    getattr(self, "redirect_closure", None)):
@@ -337,6 +372,14 @@ class CrawlEngine:
                     df.unpersist()
                 except Exception:  # noqa: BLE001 — already released
                     pass
+        for k, v in getattr(self, "_saved_confs", {}).items():
+            try:
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — stopped session
+                pass
 
     # --- bucketed corpus layout (config.corpus_buckets) ----------------------
 
@@ -418,14 +461,22 @@ class CrawlEngine:
         # layout (ADVICE.md r2): key on the resolved cache root (two
         # engines with different state dirs get different table names)
         # AND a corpus content fingerprint (total size + max mtime of
-        # the parquet files).
-        src = Path(pages_path)
-        files = sorted(f for f in src.rglob("*") if f.is_file()) \
-            if src.is_dir() else [src]
-        fp = f"{sum(f.stat().st_size for f in files)}-" \
-             f"{max((f.stat().st_mtime_ns for f in files), default=0)}"
+        # the parquet files).  A non-local corpus path can't be stat'd
+        # from the driver — skip the fingerprint there (the layout is
+        # then keyed on path alone; rewriting after a corpus change is
+        # the operator's call, as with any ingest-time bucketing).
+        src = local_path(pages_path)
+        if src is not None:
+            files = sorted(f for f in src.rglob("*") if f.is_file()) \
+                if src.is_dir() else [src]
+            fp = f"{sum(f.stat().st_size for f in files)}-" \
+                 f"{max((f.stat().st_mtime_ns for f in files), default=0)}"
+            src_id = str(src.resolve())
+        else:
+            fp = "remote"
+            src_id = pages_path
         key = hashlib.md5(
-            f"{src.resolve()}|{cache_root.resolve()}|{n_buckets}|"
+            f"{src_id}|{cache_root.resolve()}|{n_buckets}|"
             f"{part_buckets}|{fp}".encode()
         ).hexdigest()[:12]
         name = f"ssspark_corpus_{key}"
@@ -451,8 +502,29 @@ class CrawlEngine:
             )
             TableIO._atomic_write_json(
                 marker,
-                {"n_buckets": n_buckets, "part_buckets": part_buckets},
+                {"n_buckets": n_buckets, "part_buckets": part_buckets,
+                 "source": src_id, "key": key, "table": name},
             )
+            # GC superseded layouts of the SAME source corpus (ADVICE
+            # r3: every fingerprint change — a corpus touch — abandoned
+            # a full 8GB-scale corpus copy forever).  Only siblings
+            # whose marker records this source are dropped; other
+            # corpora sharing the cache root are untouched.
+            import shutil
+            for sib in cache_root.glob("corpus_join_*"):
+                if sib == loc:
+                    continue
+                sm = sib / "_layout.json"
+                try:
+                    meta = json.loads(sm.read_text()) if sm.exists() else {}
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if meta.get("source") != src_id:
+                    continue
+                old_table = meta.get("table")
+                if old_table and spark.catalog.tableExists(old_table):
+                    spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+                shutil.rmtree(sib, ignore_errors=True)
         elif not spark.catalog.tableExists(name):
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"

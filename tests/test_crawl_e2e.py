@@ -46,8 +46,7 @@ def sim(tiny_corpus, config):
 def engine_run(spark, tiny_corpus_dir, config, tmp_path_factory):
     state = tmp_path_factory.mktemp("crawl_state")
     eng = CrawlEngine(
-        spark, config, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, config, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     return eng
 
@@ -128,8 +127,7 @@ def test_bloom_prefilter_identical_results(
         "bloom_bits": 1 << 18, "fetch_join": "broadcast",
     })
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     assert _engine_emissions(eng) == sorted(sim.emissions)
     got = {r["url_canon"] for r in eng.io.load("seen").collect()}
@@ -147,8 +145,7 @@ def test_snapshot_state_layout_identical_results(
     state = tmp_path_factory.mktemp("crawl_state_snap")
     cfg = CrawlConfig(**{**config.__dict__, "state_layout": "snapshot"})
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     assert _engine_emissions(eng) == sorted(sim.emissions)
     got = {r["url_canon"] for r in eng.io.load("seen").collect()}
@@ -169,8 +166,7 @@ def test_delta_layout_compacts_state_tables(
     state = tmp_path_factory.mktemp("crawl_state_compact")
     cfg = CrawlConfig(**{**config.__dict__, "compact_every": 2})
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     assert _engine_emissions(eng) == sorted(sim.emissions)
     for table in ("frontier", "host_state", "seen"):
@@ -191,8 +187,7 @@ def test_composed_bucketed_pruned_fetch_join_identical_results(
         "fetch_join_buckets": 8, "corpus_buckets": 8,
     })
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     assert _engine_emissions(eng) == sorted(sim.emissions)
     got = {r["url_canon"] for r in eng.io.load("seen").collect()}
@@ -217,8 +212,7 @@ def test_cuckoo_prefilter_identical_results(
         "cuckoo_shards": 4, "cuckoo_buckets": 1000,  # rounds to 1024
     })
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     assert _engine_emissions(eng) == sorted(sim.emissions)
     got = {r["url_canon"] for r in eng.io.load("seen").collect()}
@@ -232,13 +226,11 @@ def test_resume_fidelity(spark, tiny_corpus_dir, config, sim, tmp_path_factory):
     state = tmp_path_factory.mktemp("crawl_state_resume")
     short = CrawlConfig(**{**config.__dict__, "max_waves": 3})
     eng1 = CrawlEngine(
-        spark, short, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, short, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng1.run()
     assert eng1.last_complete_wave() == 2
     eng2 = CrawlEngine(
-        spark, config, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, config, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng2.run(resume=True)
     got = _engine_emissions(eng2)
     assert got == sorted(sim.emissions)

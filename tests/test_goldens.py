@@ -27,8 +27,7 @@ def engine_run(spark, tiny_corpus, tiny_corpus_dir, tmp_path_factory):
     state = tmp_path_factory.mktemp("golden_state")
     eng = CrawlEngine(
         spark, golden_config(tiny_corpus),
-        str(tiny_corpus_dir / "pages.parquet"), str(state),
-    )
+        str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     return eng
 

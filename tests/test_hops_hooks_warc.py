@@ -41,7 +41,7 @@ def _run(spark, corpus, cfg, tmp, tag):
     d = tmp.mktemp(f"{tag}_corpus")
     corpus.write(d)
     state = tmp.mktemp(f"{tag}_state")
-    eng = CrawlEngine(spark, cfg, str(d / "pages.parquet"), str(state))
+    eng = CrawlEngine(spark, cfg, str(d / "pages.parquet"), str(state), record_emission=True)
     eng.run()
     return eng
 
@@ -153,7 +153,7 @@ def test_warc_sink_round_trip(spark, tiny_corpus, tiny_corpus_dir,
     cfg = CrawlConfig(seeds=tuple(tiny_corpus.seeds), max_waves=3,
                       warc_dir=str(warc_dir))
     eng = CrawlEngine(spark, cfg,
-                      str(tiny_corpus_dir / "pages.parquet"), str(state))
+                      str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     eng.run()
 
     fetched = {

@@ -109,8 +109,7 @@ def test_bucketed_corpus_fetch_join_prunes_partitions(
     cfg = CrawlConfig(seeds=(tiny_corpus.seeds[0],), max_waves=3,
                       corpus_buckets=n_buckets, fetch_join="broadcast")
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     # layout exists and is hive-partitioned
     bdir = state / "corpus_bucketed" / "data"
     parts = sorted(p.name for p in bdir.glob("pbucket=*"))
@@ -157,8 +156,7 @@ def test_composed_bucketed_smj_fetch_join_prunes_and_colocates(
         fetch_join="bucketed", fetch_join_buckets=8, corpus_buckets=8,
     )
     eng = CrawlEngine(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state)
-    )
+        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(state), record_emission=True)
     # layout: hive pbucket dirs, each holding bucketed files
     loc = next(
         d for d in state.glob("corpus_join_*") if (d / "data").exists()

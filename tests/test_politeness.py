@@ -123,7 +123,7 @@ def test_agent_group_e2e(spark, agent_corpus, tmp_path_factory):
     agent_corpus.write(corpus_dir)
     state = tmp_path_factory.mktemp("agent_state")
     eng = CrawlEngine(spark, cfg, str(corpus_dir / "pages.parquet"),
-                      str(state))
+                      str(state), record_emission=True)
     eng.run()
     got = sorted(
         (r["wave"], r["emit_rank"], r["url"], r["depth"], r["host"])
