@@ -898,6 +898,23 @@ class CrawlEngine:
         if not cfg.archive_html:
             enriched = enriched.drop("html")
         _t("plan-build")
+        if os.environ.get("SSSPARK_DECOMP") == "1":
+            # Fetched-commit decomposition (VERDICT r3 item 1): the
+            # stage below pipelines corpus-scan → fetch-join → Arrow
+            # UDF → parquet write in ONE job, so its wall says nothing
+            # about which leg is parallelism-invariant.  Time each
+            # prefix of the plan under a noop sink (runs the subtree,
+            # writes nothing); write-leg ≈ fetched-commit − decomp/udf.
+            # Bench-only (extra executions); never on in production.
+            for label, sub in (("scan", pages_min),
+                               ("join", fetch_input),
+                               ("udf", enriched)):
+                s = _time.monotonic()
+                sub.write.format("noop").mode("overwrite").save()
+                print(f"[wave {wave}] decomp/{label}: "
+                      f"{_time.monotonic() - s:.2f}s",
+                      file=sys.stderr, flush=True)
+            _last = _time.monotonic()
         self.io.commit("fetched", enriched, wave, mode="append")
         # fetched rows == scheduled rows (hits ∪ misses partition the
         # scheduled set), so the manifest row count IS n_scheduled —

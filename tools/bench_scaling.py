@@ -62,13 +62,16 @@ def corpus_dir(pages: int, hosts: int, delays: tuple, tag: str,
 
 
 def crawl_once(spark, corpus: str, seeds, waves: int,
-               record_emission: bool = False):
+               record_emission: bool = False,
+               state_base: str | None = None):
     from pyspark.sql import functions as F
 
     from shaman_scraping_spark.config import CrawlConfig
     from shaman_scraping_spark.plans.engine import CrawlEngine
 
-    state = tempfile.mkdtemp(prefix="ssspark_scalstate_")
+    # state_base="/dev/shm" puts every engine write (fetched, state
+    # commits) on tmpfs — the disk-vs-compute A/B of VERDICT r3 item 1
+    state = tempfile.mkdtemp(prefix="ssspark_scalstate_", dir=state_base)
     # archive_html=False: on a real cluster archive IO scales with
     # executors' local disks/HDFS; this machine has ONE disk, so
     # persisting ~6 GB of payload per run would serialize both levels
@@ -178,14 +181,16 @@ def child(args) -> None:
             ).collect()
         ]
         waves = args.waves
-    r = crawl_once(spark, corpus, seeds, waves)
+    r = crawl_once(spark, corpus, seeds, waves,
+                   state_base="/dev/shm" if args.tmpfs else None)
     print(f"CHILD {json.dumps(r)}", flush=True)
     spark.stop()
 
 
 def run_child(cpus: int, pages: int, waves: int,
               determinism: bool = False, profile: bool = False,
-              execs: int = 0, wide: bool = False):
+              execs: int = 0, wide: bool = False,
+              tmpfs: bool = False, decomp: bool = False):
     """Spawn ONE fresh-JVM child: one measured crawl (or one
     determinism run).  Returns (run_result, det_result, profile)."""
     cmd = [
@@ -196,6 +201,8 @@ def run_child(cpus: int, pages: int, waves: int,
         cmd += ["--execs", str(execs)]
     if wide:
         cmd.append("--wide")
+    if tmpfs:
+        cmd.append("--tmpfs")
     if determinism:
         cmd.append("--determinism")
     env = dict(os.environ, PYTHONPATH=str(REPO),
@@ -204,6 +211,10 @@ def run_child(cpus: int, pages: int, waves: int,
         env["SSSPARK_PROFILE"] = "1"
     else:
         env.pop("SSSPARK_PROFILE", None)
+    if decomp:
+        env["SSSPARK_DECOMP"] = "1"
+    else:
+        env.pop("SSSPARK_DECOMP", None)
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, timeout=3600,
     )
@@ -306,6 +317,71 @@ def executors_main(args) -> None:
     print(f"wrote {md}")
 
 
+def decompose_main(args) -> None:
+    """VERDICT r3 item 1: decompose the parallelism-invariant
+    fetched-commit stage.  For each (cores, sink) cell one profiled
+    fresh-JVM run executes the stage's plan PREFIXES under a noop sink
+    (SSSPARK_DECOMP=1 timers in plans/engine.py):
+
+        decomp/scan   — pruned corpus scan alone
+        decomp/join   — scan + fetch SMJ
+        decomp/udf    — scan + SMJ + extraction UDF (no write)
+        fetched-commit — the real stage (scan+SMJ+UDF+parquet write)
+
+    so write-leg ≈ fetched-commit − decomp/udf, and the tmpfs column
+    isolates the one shared disk from compute.  → BENCH/DECOMP.md.
+    """
+    cells = {}
+    for cpus in (8, 32):
+        for sink, tmpfs in (("disk", False), ("tmpfs", True)):
+            r, _, prof = run_child(cpus, args.pages, args.waves,
+                                   profile=True, decomp=True, tmpfs=tmpfs)
+            cells[(cpus, sink)] = {"wall": r["wall"], "urls": r["urls"],
+                                   "prof": prof}
+            print(f"decomp cpus={cpus} sink={sink}: wall {r['wall']:.1f}s "
+                  f"prof={ {k: round(v, 1) for k, v in prof.items()} }",
+                  flush=True)
+    labels = ["decomp/scan", "decomp/join", "decomp/udf", "fetched-commit"]
+    lines = [
+        "# BENCH/DECOMP — fetched-commit decomposition (VERDICT r3 item 1)",
+        "",
+        f"Same corpus/protocol as BASELINE.md ({args.pages} pages, "
+        f"{args.waves} waves, saturating seeds), ONE profiled fresh-JVM",
+        "run per cell.  Stage legs are summed across waves; each leg is",
+        "a plan PREFIX under a noop sink, so `write ≈ fetched-commit −",
+        "decomp/udf` and `udf ≈ decomp/udf − decomp/join`.  The tmpfs",
+        "columns put ALL engine writes on /dev/shm — compute identical,",
+        "disk removed.",
+        "",
+        "| leg | 8c disk | 32c disk | 8c tmpfs | 32c tmpfs |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    order = [(8, "disk"), (32, "disk"), (8, "tmpfs"), (32, "tmpfs")]
+    for lbl in labels:
+        row = [f"{cells[c]['prof'].get(lbl, 0.0):.1f} s" for c in order]
+        lines.append(f"| {lbl} | " + " | ".join(row) + " |")
+    # derived legs
+    for name, hi, lo in (("udf-only (udf−join)", "decomp/udf",
+                          "decomp/join"),
+                         ("write-only (commit−udf)", "fetched-commit",
+                          "decomp/udf")):
+        row = [
+            f"{max(0.0, cells[c]['prof'].get(hi, 0.0) - cells[c]['prof'].get(lo, 0.0)):.1f} s"
+            for c in order
+        ]
+        lines.append(f"| {name} | " + " | ".join(row) + " |")
+    lines += [
+        "",
+        "| total wall | " + " | ".join(
+            f"{cells[c]['wall']:.1f} s" for c in order) + " |",
+        "",
+    ]
+    md = Path(REPO, "BENCH", "DECOMP.md")
+    md.parent.mkdir(exist_ok=True)
+    md.write_text("\n".join(lines) + "\n")
+    print(f"wrote {md}")
+
+
 def median(xs):
     xs = sorted(xs)
     n = len(xs)
@@ -332,7 +408,8 @@ def main() -> None:
     ap.add_argument("--determinism", action="store_true")
     ap.add_argument("--execs", type=int, default=0)
     ap.add_argument("--wide", action="store_true")
-    ap.add_argument("--mode", choices=("threads", "executors"),
+    ap.add_argument("--tmpfs", action="store_true")
+    ap.add_argument("--mode", choices=("threads", "executors", "decompose"),
                     default="threads")
     args = ap.parse_args()
     if args.child:
@@ -340,6 +417,9 @@ def main() -> None:
         return
     if args.mode == "executors":
         executors_main(args)
+        return
+    if args.mode == "decompose":
+        decompose_main(args)
         return
 
     report = {}
