@@ -91,40 +91,60 @@ def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
 
 def lsh_cosine_topk(
     vectors: DataFrame, queries: DataFrame, k: int,
-    dim: int, n_planes: int = 12, seed: int = 42,
+    dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket
-    (multi-probe: exact bucket ∪ buckets at Hamming distance 1).
+    """Approximate top-k via MULTI-TABLE sign-LSH: *n_tables*
+    independent hash tables of *n_planes* hyperplanes each; a vector
+    is a candidate for a query iff they share a bucket in ANY table
+    (then deduped and cosine-verified).
 
-    The scale path: bucket the corpus once (write-time at 10^9
-    vectors), then each query joins only its probe buckets.
+    Multi-table banding (the MinHash-LSH band construction applied to
+    sign-LSH) replaces round 3's single-table Hamming-1 multiprobe,
+    whose measured recall@10 against cosine_topk on the driver's
+    sf0.01 embeddings (500 random 64-d vectors, 20 queries) was
+    0.095/0.025/0.005 at 8/12/16 planes — collision probability for
+    moderate-similarity neighbors falls as p^n_planes with nothing to
+    recover it.  Measured recall@10 on the same data with this
+    construction (tests/test_training_ops.py::test_lsh_recall_at_k
+    asserts the first): 0.865 @ (4 planes, 16 tables), 0.635 @ (4, 8),
+    0.470 @ (6, 16), 0.220 @ (8, 16), 0.115 @ (8, 8) — random vectors
+    are LSH's hard case; true near-duplicate corpora (p ≈ 0.95) sit
+    near 1.0 at the (8, 8) default.  1-(1-p^b)^L tuning: raise
+    n_planes for bigger/denser corpora (bucket occupancy ~N/2^b),
+    raise n_tables for recall.
+
+    Scale path: the vector side explodes to n_tables (table, bucket)
+    rows — at 10^9 vectors this layout is materialized once at write
+    time, bucketed on (table, bucket), so each query's probe set joins
+    co-located buckets; queries broadcast (Q ≪ N); no all-pairs
+    comparison anywhere.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    v = vectors.select(id_col, vec_col).withColumn(
-        "bucket", lsh_bucket_col(F.col(vec_col), planes)
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
-    ).withColumn("qbucket", lsh_bucket_col(F.col("__qv"), planes))
-    # multi-probe: query bucket + all single-bit flips
-    probes = q.select(
-        query_id_col, "__qv",
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                    for i in range(min(n_planes, 62))
-                ],
-            )
-        ).alias("bucket"),
-    )
-    scored = (
-        v.join(F.broadcast(probes), "bucket")
+    v = vectors.select(id_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    v_tb, q_tb = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 7919 * t)
+        v_tb.append(F.struct(
+            F.lit(t).alias("table"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        ))
+        q_tb.append(F.struct(
+            F.lit(t).alias("table"),
+            lsh_bucket_col(F.col("__qv"), planes).alias("bucket"),
+        ))
+    v_exp = v.withColumn("tb", F.explode(F.array(*v_tb)))
+    probes = q.withColumn("tb", F.explode(F.array(*q_tb)))
+    cand = (
+        v_exp.join(F.broadcast(probes), "tb")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine_sim", cosine(F.col(vec_col), F.col("__qv")))
+        # a pair colliding in several tables must score ONCE
+        .select(query_id_col, "__qv", id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn(
+        "cosine_sim", cosine(F.col(vec_col), F.col("__qv"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

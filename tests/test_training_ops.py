@@ -195,6 +195,43 @@ def test_lsh_ann_finds_planted_neighbors(vectors):
     assert 100 in ids and 101 in ids
 
 
+def test_lsh_recall_at_k(spark):
+    """VERDICT r3 item 5: measured recall@k of the multi-table LSH ANN
+    against the exact brute force on the driver's embeddings testdata
+    — the number documented in operators/similarity.py.  Random 64-d
+    vectors are the HARD case for LSH (moderate-similarity neighbors);
+    the banded construction must still clear 0.8 at (4 planes, 16
+    tables), and recall must improve with table count."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF001", "/root/testdata/sf0.01")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(vecs.select("embedding").first()[0])
+    q = vecs.limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(vecs, q, k=k).collect()
+    }
+
+    def recall(n_planes, n_tables):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_cosine_topk(
+                vecs, q, k=k, dim=dim,
+                n_planes=n_planes, n_tables=n_tables,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_low = recall(4, 2)
+    r_hi = recall(4, 16)
+    assert r_hi >= 0.8, r_hi
+    assert r_hi > r_low  # more tables → more recall (banding works)
+
+
 def test_embedding_neardup(vectors):
     pairs = embedding_neardup_pairs(
         vectors, threshold=0.99, dim=16, n_planes=8
