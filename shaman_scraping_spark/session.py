@@ -64,10 +64,12 @@ def get_spark(
         # retry budget is the standard mitigation on Java 17
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=64")
+                "-XX:GCLockerRetryAllocationCount=64 "
+                + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", ""))
         .config("spark.executor.extraJavaOptions",
                 "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=64")
+                "-XX:GCLockerRetryAllocationCount=64 "
+                + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", ""))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -264,7 +264,8 @@ def executors_main(args) -> None:
             walls, urls = [], None
             for i in range(args.runs):
                 r, _, _ = run_child(8, args.pages, args.waves,
-                                    execs=execs, wide=wide)
+                                    execs=execs, wide=wide,
+                                    tmpfs=args.tmpfs)
                 walls.append(r["wall"])
                 urls = r["urls"]
                 print(f"{regime} execs={execs} run {i}: "
@@ -272,6 +273,7 @@ def executors_main(args) -> None:
             report[(regime, execs)] = {
                 "walls": walls, "median": median(walls), "urls": urls,
             }
+    sink = "tmpfs (/dev/shm)" if args.tmpfs else "the shared disk"
     lines = ["# BENCH/EXECUTORS — N vs 4N executor JVMs (local-cluster)",
              "",
              "Full crawl engine, `local-cluster[N,8,20g]` (separate",
@@ -279,7 +281,7 @@ def executors_main(args) -> None:
              "`spark.locality.wait=0`,",
              f"fresh driver JVM per run, median of {args.runs}).  "
              "Same corpus and",
-             "protocol as BASELINE.md.", ""]
+             f"protocol as BASELINE.md.  Engine output on {sink}.", ""]
     for regime in ("steady", "wide"):
         r1, r4 = report[(regime, 1)], report[(regime, 4)]
         t1 = r1["urls"] / r1["median"]
@@ -311,7 +313,8 @@ def executors_main(args) -> None:
         "disks/HDFS).  See BASELINE.md for the thread-mode protocol",
         "and the stage-level decomposition.",
     ]
-    md = Path(REPO, "BENCH", "EXECUTORS.md")
+    name = "EXECUTORS_TMPFS.md" if args.tmpfs else "EXECUTORS.md"
+    md = Path(REPO, "BENCH", name)
     md.parent.mkdir(exist_ok=True)
     md.write_text("\n".join(lines) + "\n")
     print(f"wrote {md}")
