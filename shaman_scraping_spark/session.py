@@ -21,12 +21,24 @@ def get_spark(
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
-    in the sandbox; on a real cluster pass ``None`` after spark-submit
-    sets the master, or an explicit URL.
+    in the sandbox.  Pass ``"submit"`` (or None under spark-submit,
+    detected via the spark.master system conf) to let spark-submit's
+    ``--master`` own the session — the builder then never overrides it,
+    so ``spark-submit --py-files … --master <cluster>`` runs the engine
+    on exactly the cluster it names (tools/submit_crawl.py).
     """
-    if master is None:
+    under_submit = False
+    if master is None or master == "submit":
+        from pyspark import SparkConf
+
+        under_submit = master == "submit" or SparkConf().contains(
+            "spark.master"
+        )
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+        master = (
+            SparkConf().get("spark.master", f"local[{cpus}]")
+            if under_submit else f"local[{cpus}]"
+        )
     if shuffle_partitions is None:
         # local[N] → N is a thread count; 2×cores keeps partitions small
         # enough to overlap while avoiding tiny-task overhead at test SF.
@@ -39,7 +51,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -73,6 +84,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if not under_submit:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
