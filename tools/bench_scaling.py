@@ -310,11 +310,15 @@ def executors_main(args) -> None:
         "count — on a real cluster it is likewise constant, and at",
         "10^7-row frontier waves it is amortized by ~200× more per-wave",
         "work than this 56k-URL bench can generate.  The wide regime",
-        "shows the same engine with coordination amortized; its",
-        "remaining gap is the one shared local disk that absorbs every",
-        "executor's writes (a real cluster writes to per-executor",
-        "disks/HDFS).  See BASELINE.md for the thread-mode protocol",
-        "and the stage-level decomposition.",
+        "shows the same engine with coordination amortized.  The",
+        "round-4 tmpfs A/B (EXECUTORS_TMPFS.md vs EXECUTORS.md) and",
+        "BENCH/DECOMP.md rule the shared disk OUT: moving every engine",
+        "write to /dev/shm does not move wide-regime efficiency, and",
+        "the write leg is ≤11% of the dominant stage.  The residual",
+        "gap is the one box's shared memory bandwidth + the driver's",
+        "fixed seconds — both terms a real 4N-executor cluster does",
+        "not share.  See BASELINE.md for the thread-mode protocol and",
+        "the stage-level decomposition.",
     ]
     name = "EXECUTORS_TMPFS.md" if args.tmpfs else "EXECUTORS.md"
     md = Path(REPO, "BENCH", name)
