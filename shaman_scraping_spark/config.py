@@ -177,6 +177,21 @@ class CrawlConfig:
     #     bounded.  Both layouts produce byte-identical emission logs
     #     (twin-tested); resume works in both.
     state_layout: str = "delta"
+    # Seen-table physical layout:
+    #   "dirs" (default) — per-wave delta dirs unioned at read (the
+    #     WARC-index pattern; fine while the seen set fits a shuffle).
+    #   "bucketed" — per-wave deltas appended into ONE wave-partitioned
+    #     catalog table bucketed on (url_hash, url_canon): every exact
+    #     anti-join against seen becomes an SMJ whose seen side reads
+    #     its buckets IN PLACE — no shuffle of the accumulated set.
+    #     At a 10^10-URL seen set the per-wave reshuffle of the whole
+    #     set is the dominant exchange; this kills it (plan-asserted).
+    #     Same per-wave atomicity: reads filter __wave <= the last
+    #     manifested wave, so a crashed wave's partition is invisible
+    #     and re-runs overwrite it.  Cluster analogue: Iceberg bucket
+    #     partition transform.
+    seen_layout: str = "dirs"
+    seen_buckets: int = 64
     # Delta-mode compaction interval: every K waves the frontier /
     # host_state / seen append chains are rewritten into one data dir
     # (frontier: seen-filtered + deduped; host_state: latest row per

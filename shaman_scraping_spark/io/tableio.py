@@ -142,6 +142,107 @@ class TableIO:
             reader = reader.option(k, v)
         return reader.load(self._iceberg_name(table))
 
+    # --- bucketed append tables (the 10^10-row anti-join layout) -------------
+
+    def _bucketed_name(self, table: str) -> str:
+        import hashlib
+
+        key = hashlib.md5(str(self.root.resolve()).encode()).hexdigest()[:10]
+        return f"ssspark_{key}_{table}"
+
+    def commit_bucketed(self, table: str, df: DataFrame, wave: int,
+                        n_buckets: int, cols: list[str]) -> None:
+        """Append-mode commit into a wave-partitioned, (*cols*)-bucketed
+        catalog table instead of a plain data dir.
+
+        Why: a plain append table SHUFFLES its whole accumulated row set
+        into every equi-join against it — at a 10^10-row seen set that
+        shuffle dominates the wave.  Files laid out as
+        ``data/__wave=N/bucket_files`` give (a) the same per-wave
+        atomicity as the dir layout — a crashed wave's partition is
+        invisible because every read filters ``__wave <=`` the last
+        MANIFESTED wave, and an idempotent re-run deletes the partial
+        partition before re-appending — and (b) an exchange-free seen
+        side in every SMJ anti-join (bucket spec == join key, verified
+        by plan test).  The cluster analogue is an Iceberg table with a
+        bucket partition transform.
+        """
+        name = self._bucketed_name(table)
+        tdir = self._tdir(table)
+        data = tdir / "data"
+        part_dir = data / f"__wave={wave}"
+        if part_dir.exists():
+            # idempotent re-run of a crashed (un-manifested) wave
+            import shutil
+            shutil.rmtree(part_dir)
+            if self.spark.catalog.tableExists(name):
+                self.spark.sql(f"REFRESH TABLE {name}")
+        from pyspark.sql import functions as F
+
+        # repartition on the bucket cols first: each writer task then
+        # holds exactly one bucket's rows → one file per bucket per
+        # wave (bucketBy's hash == repartition's Murmur3)
+        out = df.withColumn("__wave", F.lit(wave)) \
+            .repartition(n_buckets, *cols)
+        writer = (
+            out.write.mode("append").partitionBy("__wave")
+            .bucketBy(n_buckets, *cols).sortBy(*cols)
+            .option("path", str(data))
+        )
+        self._ensure_bucketed_table(table, df, n_buckets, cols)
+        writer.saveAsTable(name)
+        num_rows = self._dir_row_count(part_dir) if part_dir.exists() else 0
+        self._atomic_write_json(
+            self._manifest_path(table, wave),
+            {"table": table, "wave": wave, "mode": "append",
+             "bucketed": {"name": name, "n_buckets": n_buckets,
+                          "cols": cols},
+             "num_rows": num_rows,
+             "snapshot_id": uuid.uuid5(
+                 uuid.NAMESPACE_URL, f"{table}/{wave}").hex},
+        )
+        self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
+
+    def _ensure_bucketed_table(self, table: str, df: DataFrame,
+                               n_buckets: int, cols: list[str]) -> None:
+        """Re-register the catalog entry for an on-disk bucketed layout
+        (a resumed crawl in a fresh session has files but no catalog)."""
+        name = self._bucketed_name(table)
+        data = self._tdir(table) / "data"
+        if self.spark.catalog.tableExists(name) or not data.exists():
+            return
+        col_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        ) + ", `__wave` int"
+        sort_ddl = ", ".join(cols)
+        self.spark.sql(
+            f"CREATE TABLE {name} ({col_ddl}) USING parquet "
+            f"PARTITIONED BY (__wave) "
+            f"CLUSTERED BY ({sort_ddl}) SORTED BY ({sort_ddl}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{data}'"
+        )
+        self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+
+    def _load_bucketed(self, table: str, m: dict,
+                       wave: int) -> DataFrame:
+        name = m["bucketed"]["name"]
+        if not self.spark.catalog.tableExists(name):
+            df = self.spark.read.parquet(
+                str(self._tdir(table) / "data")
+            ).drop("__wave")
+            self._ensure_bucketed_table(
+                table, df, m["bucketed"]["n_buckets"],
+                m["bucketed"]["cols"],
+            )
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.table(name)
+            .where(F.col("__wave") <= F.lit(wave))
+            .drop("__wave")
+        )
+
     # --- manifest plumbing -------------------------------------------------
 
     def _tdir(self, table: str) -> Path:
@@ -230,7 +331,12 @@ class TableIO:
         if self.table_format == "iceberg":
             return False  # Iceberg compacts via its own maintenance
         m = self.read_manifest(table)
-        if m is None or (len(m["data_dirs"]) <= 1 and transform is None):
+        if m is None or "bucketed" in m:
+            # bucketed layout: per-wave partitions ARE the layout (the
+            # scan stays bucketed across them); file-count maintenance
+            # is the cluster's rewrite_data_files job
+            return False
+        if len(m["data_dirs"]) <= 1 and transform is None:
             return False
         wave = m["wave"]
         df = self.load(table, wave)
@@ -299,6 +405,8 @@ class TableIO:
         m = self.read_manifest(table, wave)
         if m is None:
             return None
+        if "bucketed" in m:
+            return self._load_bucketed(table, m, m["wave"])
         paths = [str(self._tdir(table) / d) for d in m["data_dirs"]]
         return self.spark.read.parquet(*paths)
 
@@ -307,6 +415,14 @@ class TableIO:
         slice) — the engine's write-read barrier reads this back."""
         if self.table_format == "iceberg":
             return self._load_delta_iceberg(table, wave)
+        m = self.read_manifest(table, wave)
+        if m is not None and "bucketed" in m:
+            from pyspark.sql import functions as F
+
+            return (
+                self.spark.table(m["bucketed"]["name"])
+                .where(F.col("__wave") == F.lit(wave)).drop("__wave")
+            )
         d = self._tdir(table) / f"data-{wave:06d}"
         if not d.exists():
             return None

@@ -217,6 +217,9 @@ class CrawlEngine:
         if config.state_layout not in ("snapshot", "delta"):
             raise ValueError(f"unknown state_layout: {config.state_layout}")
         self.state_layout = config.state_layout
+        if config.seen_layout not in ("dirs", "bucketed"):
+            raise ValueError(f"unknown seen_layout: {config.seen_layout}")
+        self.seen_layout = config.seen_layout
         # a state dir is laid out for exactly one layout — resuming it
         # under the other would misread frontier/host_state manifests
         lp = self.state_dir / "_engine.json"
@@ -545,6 +548,19 @@ class CrawlEngine:
                 spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
         return spark.table(name)
 
+    def _commit_seen(self, df: DataFrame, wave: int) -> None:
+        """Seen delta commit under the configured physical layout
+        (config.seen_layout) — dirs-append or bucketed-append; the
+        logical content is identical (twin-tested)."""
+        if self.seen_layout == "bucketed":
+            self.io.commit_bucketed(
+                "seen", df, wave,
+                n_buckets=self.config.seen_buckets,
+                cols=list(SEEN_KEY),
+            )
+        else:
+            self.io.commit("seen", df, wave, mode="append")
+
     # --- wave-complete marker (cross-table atomicity) -----------------------
 
     def _marker_path(self) -> Path:
@@ -625,7 +641,7 @@ class CrawlEngine:
         empty_seen = self.spark.createDataFrame(
             [], "url_hash long, url_canon string"
         )
-        self.io.commit("seen", empty_seen, wave=0, mode="append")
+        self._commit_seen(empty_seen, wave=0)
         empty_hs = self.spark.createDataFrame(
             [],
             "host string, rules array<struct<allow:boolean,prefix:string>>, "
@@ -1102,8 +1118,7 @@ class CrawlEngine:
         commits = [
             ("lineage", lambda: self.io.commit(
                 "lineage", lineage, wave, mode="append")),
-            ("seen", lambda: self.io.commit(
-                "seen", seen_delta, wave + 1, mode="append")),
+            ("seen", lambda: self._commit_seen(seen_delta, wave + 1)),
             ("frontier", lambda: self.io.commit(
                 "frontier", frontier_out, wave + 1, mode=state_mode)),
             ("host_state", lambda: self.io.commit(
@@ -1251,7 +1266,7 @@ class CrawlEngine:
     def _commit_empty(self, wave: int, seen: DataFrame,
                       host_state: DataFrame) -> None:
         """Frontier drained: carry state forward so resume stays valid."""
-        self.io.commit("seen", seen.limit(0), wave + 1, mode="append")
+        self._commit_seen(seen.limit(0), wave + 1)
         if self.state_layout == "delta":
             # append layout: empty deltas keep the manifest chain
             # intact; the accumulated state needs no carrying

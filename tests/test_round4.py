@@ -197,6 +197,96 @@ def test_emission_log_is_opt_in(spark, tiny_corpus_dir, tmp_path):
     assert eng.io.read_manifest("fetched") is not None
 
 
+def test_bucketed_seen_layout_identical_results(spark, tmp_path_factory):
+    """seen_layout='bucketed' (the 10^10-row anti-join layout) is a
+    physical choice only: emission log, seen set and fetched rows must
+    be byte-identical to the default dirs layout, and resume must work
+    across the layout's catalog re-registration."""
+    from shaman_scraping_spark.corpus.generator import (
+        CorpusSpec, generate_corpus,
+    )
+    from shaman_scraping_spark.corpus.simulator import simulate
+
+    corpus = generate_corpus(CorpusSpec(n_hosts=6, n_pages=120))
+    cdir = tmp_path_factory.mktemp("bseen_corpus")
+    corpus.write(cdir)
+    cfg = CrawlConfig(seeds=tuple(corpus.seeds), max_waves=5,
+                      seen_layout="bucketed", seen_buckets=8)
+    sim = simulate(corpus, cfg)
+    state = tmp_path_factory.mktemp("bseen_state")
+    eng = CrawlEngine(spark, cfg, str(cdir / "pages.parquet"),
+                      str(state), record_emission=True)
+    eng.run()
+    got = sorted(
+        (r["wave"], r["emit_rank"], r["url"], r["depth"], r["host"])
+        for r in eng.io.load("emission").collect()
+    )
+    assert got == sorted(sim.emissions)
+    seen = {r["url_canon"] for r in eng.io.load("seen").collect()}
+    assert seen == sim.seen
+    # layout on disk: wave partitions holding bucket files
+    parts = sorted(p.name for p in (state / "seen" / "data").glob("__wave=*"))
+    assert parts, "no wave partitions written"
+    eng.close()
+
+    # kill-after-2 + resume twin (exercises partition-filtered loads)
+    state2 = tmp_path_factory.mktemp("bseen_state2")
+    short = CrawlConfig(**{**cfg.__dict__, "max_waves": 2})
+    e1 = CrawlEngine(spark, short, str(cdir / "pages.parquet"),
+                     str(state2), record_emission=True)
+    e1.run()
+    e1.close()
+    e2 = CrawlEngine(spark, cfg, str(cdir / "pages.parquet"),
+                     str(state2), record_emission=True)
+    e2.run(resume=True)
+    got2 = sorted(
+        (r["wave"], r["emit_rank"], r["url"], r["depth"], r["host"])
+        for r in e2.io.load("emission").collect()
+    )
+    assert got2 == sorted(sim.emissions)
+    e2.close()
+
+
+def test_bucketed_seen_anti_join_is_exchange_free(spark, tmp_path_factory):
+    """The layout's point: an exact anti-join against the accumulated
+    seen set must read the seen side's buckets IN PLACE — exactly one
+    exchange (the probe side), seen scan bucketed, wave partitions
+    pruned to the committed watermark."""
+    from shaman_scraping_spark.corpus.generator import (
+        CorpusSpec, generate_corpus,
+    )
+    from shaman_scraping_spark.operators.frontier import (
+        SEEN_KEY, anti_join_seen,
+    )
+
+    corpus = generate_corpus(CorpusSpec(n_hosts=4, n_pages=60))
+    cdir = tmp_path_factory.mktemp("bseen_plan_corpus")
+    corpus.write(cdir)
+    cfg = CrawlConfig(seeds=tuple(corpus.seeds), max_waves=3,
+                      seen_layout="bucketed", seen_buckets=8)
+    state = tmp_path_factory.mktemp("bseen_plan_state")
+    eng = CrawlEngine(spark, cfg, str(cdir / "pages.parquet"), str(state))
+    eng.run()
+    seen = eng.io.load("seen")
+    probe = spark.createDataFrame(
+        [(1, "http://x.example/a"), (2, "http://x.example/b")],
+        "url_hash long, url_canon string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            anti_join_seen(probe, seen)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "__wave" in plan and "PartitionFilters" in plan
+    eng.close()
+
+
 def test_cli_emission_flag_default_off():
     from shaman_scraping_spark.cli import build_parser
 
