@@ -561,6 +561,25 @@ class CrawlEngine:
         else:
             self.io.commit("seen", df, wave, mode="append")
 
+    def _commit_frontier(self, df: DataFrame, wave: int) -> None:
+        """Frontier commit under the configured layouts.  With delta
+        state AND the bucketed seen layout, frontier ADDITIONS are
+        bucketed on the same SEEN_KEY: the per-wave reconstruction
+        ``dedup_urls(anti_join_seen(additions, seen))`` then runs with
+        ZERO exchanges — the scan, the anti-join (both sides bucketed)
+        and the dedup hash-aggregate (groupBy on exactly the bucket
+        key) are all co-partitioned (plan-tested)."""
+        if self.state_layout == "delta" and self.seen_layout == "bucketed":
+            self.io.commit_bucketed(
+                "frontier", df.select(*FRONTIER_COLS), wave,
+                n_buckets=self.config.seen_buckets,
+                cols=list(SEEN_KEY),
+            )
+        else:
+            mode = "append" if self.state_layout == "delta" else "snapshot"
+            self.io.commit("frontier", df.select(*FRONTIER_COLS), wave,
+                           mode=mode)
+
     # --- wave-complete marker (cross-table atomicity) -----------------------
 
     def _marker_path(self) -> Path:
@@ -636,8 +655,7 @@ class CrawlEngine:
         )
         frontier = dedup_urls(frontier).filter(scope_predicate(cfg))
         state_mode = "append" if self.state_layout == "delta" else "snapshot"
-        self.io.commit("frontier", frontier.select(*FRONTIER_COLS), wave=0,
-                       mode=state_mode)
+        self._commit_frontier(frontier, wave=0)
         empty_seen = self.spark.createDataFrame(
             [], "url_hash long, url_canon string"
         )
@@ -1119,8 +1137,8 @@ class CrawlEngine:
             ("lineage", lambda: self.io.commit(
                 "lineage", lineage, wave, mode="append")),
             ("seen", lambda: self._commit_seen(seen_delta, wave + 1)),
-            ("frontier", lambda: self.io.commit(
-                "frontier", frontier_out, wave + 1, mode=state_mode)),
+            ("frontier", lambda: self._commit_frontier(
+                frontier_out, wave + 1)),
             ("host_state", lambda: self.io.commit(
                 "host_state", host_state_out, wave + 1, mode=state_mode)),
         ]
@@ -1270,10 +1288,9 @@ class CrawlEngine:
         if self.state_layout == "delta":
             # append layout: empty deltas keep the manifest chain
             # intact; the accumulated state needs no carrying
-            self.io.commit(
-                "frontier",
+            self._commit_frontier(
                 self.spark.createDataFrame([], FRONTIER_SCHEMA),
-                wave + 1, mode="append",
+                wave + 1,
             )
             self.io.commit("host_state", host_state.limit(0), wave + 1,
                            mode="append")

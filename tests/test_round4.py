@@ -284,6 +284,19 @@ def test_bucketed_seen_anti_join_is_exchange_free(spark, tmp_path_factory):
     assert "Bucketed: true" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "__wave" in plan and "PartitionFilters" in plan
+
+    # delta-frontier reconstruction — additions scan ▷ anti-join seen
+    # ▷ dedup hash-aggregate, ALL co-partitioned on the bucket key:
+    # ZERO exchanges anywhere in the plan
+    last = eng.last_complete_wave() + 1
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        recon = eng._load_frontier(last, eng.io.load("seen", last))
+        rplan = recon._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rplan.count("Bucketed: true") == 2, rplan
+    assert "Exchange" not in rplan, rplan
     eng.close()
 
 
