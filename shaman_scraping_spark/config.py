@@ -190,6 +190,13 @@ class CrawlConfig:
     #     manifested wave, so a crashed wave's partition is invisible
     #     and re-runs overwrite it.  Cluster analogue: Iceberg bucket
     #     partition transform.
+    # Measured trade (r4, 600k-page bench, 335k-row seen set, 32
+    # threads): "bucketed" costs ~20% wall (99.5 → 119.8 s) — the
+    # per-wave saveAsTable/catalog fixed cost exceeds the avoided
+    # shuffle while seen is small.  Like fetch_join, this is a
+    # size-crossover knob: dirs below shuffle-pain scale, bucketed at
+    # the 10^9+-row seen sets where reshuffling the accumulated set
+    # every wave is the dominant exchange (plan-tested exchange-free).
     seen_layout: str = "dirs"
     seen_buckets: int = 64
     # Delta-mode compaction interval: every K waves the frontier /

@@ -63,7 +63,8 @@ def corpus_dir(pages: int, hosts: int, delays: tuple, tag: str,
 
 def crawl_once(spark, corpus: str, seeds, waves: int,
                record_emission: bool = False,
-               state_base: str | None = None):
+               state_base: str | None = None,
+               seen_layout: str = "dirs"):
     from pyspark.sql import functions as F
 
     from shaman_scraping_spark.config import CrawlConfig
@@ -84,6 +85,7 @@ def crawl_once(spark, corpus: str, seeds, waves: int,
                       # buckets = finer fetch-scan tasks (bucketed scans
                       # read one task per bucket)
                       fetch_join_buckets=256,
+                      seen_layout=seen_layout,
                       corpus_cache_dir=corpus)
     eng = CrawlEngine(spark, cfg, f"{corpus}/pages.parquet", state,
                       record_emission=record_emission)
@@ -182,7 +184,8 @@ def child(args) -> None:
         ]
         waves = args.waves
     r = crawl_once(spark, corpus, seeds, waves,
-                   state_base="/dev/shm" if args.tmpfs else None)
+                   state_base="/dev/shm" if args.tmpfs else None,
+                   seen_layout=args.seen_layout)
     print(f"CHILD {json.dumps(r)}", flush=True)
     spark.stop()
 
@@ -421,6 +424,8 @@ def main() -> None:
     ap.add_argument("--tmpfs", action="store_true")
     ap.add_argument("--regime", choices=("both", "steady", "wide"),
                     default="both")
+    ap.add_argument("--seen-layout", dest="seen_layout",
+                    choices=("dirs", "bucketed"), default="dirs")
     ap.add_argument("--mode", choices=("threads", "executors", "decompose"),
                     default="threads")
     args = ap.parse_args()
