@@ -41,6 +41,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     # opt-in: the emission log ranks the schedule through ONE window
     # partition (a test/golden mechanism) — never a production default
     p.add_argument("--emission-log", action="store_true")
+    # physical-layout knobs (size crossovers; see config.py rationale)
+    p.add_argument("--state-layout", choices=("delta", "snapshot"),
+                   default="delta")
+    p.add_argument("--seen-layout", choices=("dirs", "bucketed"),
+                   default="dirs")
+    p.add_argument("--fetch-join", choices=("auto", "broadcast", "bucketed"),
+                   default="auto")
 
 
 def _config_from(args):
@@ -61,6 +68,9 @@ def _config_from(args):
         include_regex=args.include_regex,
         exclude_regex=args.exclude_regex,
         max_pages_per_host=args.max_pages_per_host,
+        state_layout=args.state_layout,
+        seen_layout=args.seen_layout,
+        fetch_join=args.fetch_join,
     )
 
 
