@@ -7,9 +7,11 @@ bucket"; checkout empty, SURVEY.md §0).  Here:
 * robots bodies are rows of the pages corpus (``/robots.txt`` path);
   parsing is a scalar pandas UDF → a small ``host_state`` dimension
   that is **broadcast** into every politeness join (hosts ≪ URLs).
-* allow/deny is longest-match-wins over allow/disallow prefixes
-  (Google semantics, ties → allow); per-host rule lists are tiny, so
-  the match runs vectorized in a pandas UDF after the broadcast join.
+* allow/deny is most-specific-match-wins over allow/disallow rule
+  paths (Google semantics, ties → allow), including RFC 9309 §2.2.3
+  ``*`` wildcards and trailing ``$`` end anchors (r4); per-host rule
+  lists are tiny, so the match runs vectorized in a pandas UDF after
+  the broadcast join.
 * the token bucket is pure column arithmetic (Catalyst), one update
   per wave — see config.py for the pinned discretization.
 
@@ -29,6 +31,8 @@ Parse spec (pinned; oracle simulator mirrors it):
 """
 
 from __future__ import annotations
+
+import functools as _functools
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -124,12 +128,39 @@ def parse_robots(body: str | None, default_delay: float = 0.0,
     return rules, delay
 
 
+@_functools.lru_cache(maxsize=4096)
+def _rule_regex(pattern: str):
+    """Compiled matcher for a rule path containing ``*`` / trailing
+    ``$`` (RFC 9309 §2.2.3) — None for plain prefixes (fast path)."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    import re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def _rule_matches(path: str, pattern: str) -> bool:
+    rx = _rule_regex(pattern)
+    if rx is None:
+        return path.startswith(pattern)
+    return rx.match(path) is not None
+
+
 def robots_allowed(path: str, rules) -> bool:
-    """Longest-match-wins over prefix rules; tie → allow; no match → allow."""
+    """Most-specific-match-wins over rule paths; tie → allow; no match
+    → allow.  Rule paths support RFC 9309 §2.2.3 special characters:
+    ``*`` matches any character sequence, a trailing ``$`` anchors the
+    match at the end of the path.  Specificity = rule-path octet
+    length (the RFC's rule); plain prefixes behave exactly as before
+    (byte-identical to the pre-wildcard kernel, goldens unchanged).
+    """
     best_len = -1
     best_allow = True
     for allow, prefix in rules:
-        if path.startswith(prefix):
+        if _rule_matches(path, prefix):
             plen = len(prefix)
             if plen > best_len or (plen == best_len and allow):
                 best_len = plen

@@ -115,6 +115,61 @@ def agent_corpus():
     return c
 
 
+def test_wildcard_and_anchor_rules():
+    """RFC 9309 §2.2.3 special characters in rule paths: ``*`` matches
+    any character run, trailing ``$`` anchors the end; specificity =
+    rule octet length; ties → allow; plain prefixes unchanged."""
+    from shaman_scraping_spark.operators.politeness import robots_allowed
+
+    rules = [(False, "/*.pdf$"), (True, "/docs/")]
+    assert not robots_allowed("/a/b/file.pdf", rules)       # * + $ hit
+    assert robots_allowed("/a/b/file.pdfx", rules)          # $ anchored
+    assert robots_allowed("/docs/file.html", rules)
+    # /docs/*.pdf$: the disallow (len 8) beats the allow (len 6)
+    assert not robots_allowed("/docs/x.pdf", rules)
+    # wildcard mid-pattern
+    w = [(False, "/private*/x")]
+    assert not robots_allowed("/private123/x", w)
+    assert not robots_allowed("/private/x", w)              # * matches empty
+    assert robots_allowed("/private123/y", w)
+    # specificity tie → allow
+    t = [(False, "/a/b$"), (True, "/a/*$")]
+    assert robots_allowed("/a/b", t)
+    # plain-prefix behavior byte-identical to the pre-wildcard kernel
+    p = [(False, "/private"), (True, "/private/ok")]
+    assert robots_allowed("/private/ok/1", p)
+    assert not robots_allowed("/private/2", p)
+
+
+def test_wildcard_rules_through_engine_udf(spark):
+    """The pandas-UDF path (apply_robots_filter) uses the same kernel:
+    wildcard verdicts survive parse → broadcast join → UDF."""
+    from shaman_scraping_spark.operators.politeness import (
+        apply_robots_filter, build_host_state,
+    )
+    from shaman_scraping_spark.functions.url import with_url_columns
+
+    body = b"User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/\n"
+    pages = spark.createDataFrame(
+        [("http://w.example/robots.txt", body)], "url string, html binary"
+    )
+    pages = with_url_columns(pages)
+    hosts = spark.createDataFrame([("w.example",)], "host string")
+    hs = build_host_state(pages, hosts)
+    frontier = with_url_columns(spark.createDataFrame(
+        [("http://w.example/x/file.pdf",),
+         ("http://w.example/docs/a.pdf",),
+         ("http://w.example/docs/a.html",)], "url string",
+    ))
+    got = {
+        r["url_canon"]: r["allowed"]
+        for r in apply_robots_filter(frontier, hs).collect()
+    }
+    assert got["http://w.example/x/file.pdf"] is False
+    assert got["http://w.example/docs/a.pdf"] is False   # len 8 > len 6
+    assert got["http://w.example/docs/a.html"] is True
+
+
 def test_agent_group_e2e(spark, agent_corpus, tmp_path_factory):
     cfg = CrawlConfig(seeds=tuple(agent_corpus.seeds), max_waves=4,
                       user_agent="shaman-spark")
