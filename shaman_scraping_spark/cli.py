@@ -48,6 +48,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    default="dirs")
     p.add_argument("--fetch-join", choices=("auto", "broadcast", "bucketed"),
                    default="auto")
+    # op 49: robots Sitemap: directives seed the frontier (depth 0)
+    p.add_argument("--use-sitemaps", action="store_true")
 
 
 def _config_from(args):
@@ -71,6 +73,7 @@ def _config_from(args):
         state_layout=args.state_layout,
         seen_layout=args.seen_layout,
         fetch_join=args.fetch_join,
+        use_sitemaps=args.use_sitemaps,
     )
 
 

@@ -199,6 +199,15 @@ class CrawlConfig:
     # every wave is the dominant exchange (plan-tested exchange-free).
     seen_layout: str = "dirs"
     seen_buckets: int = 64
+    # Sitemap ingestion (op 49, sources/sitemap.py — spec pinned
+    # there): when a host first enters host_state, the `Sitemap:` URLs
+    # of its robots.txt are resolved out-of-band (like robots itself:
+    # no quota, not seen, not fetched) and their <loc> entries enter
+    # the frontier at the NEXT wave with depth 0 and parent = the
+    # sitemap document's canonical URL — scope, seen-dedup and the
+    # robots gate apply as for any discovered link.  sitemapindex
+    # documents expand one level.  Off by default.
+    use_sitemaps: bool = False
     # Delta-mode compaction interval: every K waves the frontier /
     # host_state / seen append chains are rewritten into one data dir
     # (frontier: seen-filtered + deduped; host_state: latest row per

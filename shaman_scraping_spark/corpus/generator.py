@@ -78,6 +78,11 @@ class CorpusSpec:
     langs: tuple = ("en", "de", "fr", "es")
     # fraction of hosts whose robots.txt disallows /private (rest allow all)
     private_frac: float = 0.5
+    # fraction of hosts with a robots-declared sitemap listing a slice
+    # of their pages PLUS orphan pages reachable only via the sitemap
+    # (op 49).  0 (default) adds nothing and consumes no rng draws —
+    # existing corpora and goldens stay byte-identical.
+    sitemap_frac: float = 0.0
 
 
 @dataclass
@@ -87,6 +92,8 @@ class Corpus:
     seeds: list = field(default_factory=list)     # seed URLs (possibly variant-spelled)
     robots: dict = field(default_factory=dict)    # host -> (rules, crawl_delay)
     # rules: list[(allow: bool, prefix: str)]
+    sitemaps: dict = field(default_factory=dict)  # host -> [listed urls]
+    orphans: dict = field(default_factory=dict)   # host -> [sitemap-only urls]
 
     def schema(self) -> pa.schema:
         return pa.schema(
@@ -191,6 +198,23 @@ def generate_corpus(spec: CorpusSpec = CorpusSpec()) -> Corpus:
             urls.append(f"http://{h}{path}")
         host_urls[h] = urls
 
+    # --- sitemap planning (op 49; every rng draw guarded so a 0 frac
+    # consumes no randomness — existing corpora stay byte-identical) --------
+    sitemap_hosts: dict[str, dict] = {}
+    if spec.sitemap_frac > 0:
+        first_sm = True
+        for h in hosts:
+            if rng.random() >= spec.sitemap_frac:
+                continue
+            orphans = [f"http://{h}/orphan/{k}" for k in range(3)]
+            listed = [u for j, u in enumerate(host_urls[h]) if j % 3 == 0]
+            listed += orphans
+            # the first sitemap host exercises the sitemapindex path
+            sitemap_hosts[h] = {"listed": listed, "index": first_sm}
+            first_sm = False
+            corpus.sitemaps[h] = listed
+            corpus.orphans[h] = orphans
+
     # --- robots.txt per host ---------------------------------------------
     for i, h in enumerate(hosts):
         delay = spec.crawl_delays[i % len(spec.crawl_delays)]
@@ -202,6 +226,8 @@ def generate_corpus(spec: CorpusSpec = CorpusSpec()) -> Corpus:
             body_lines.append(("Allow: " if allow else "Disallow: ") + prefix)
         if delay > 0:
             body_lines.append(f"Crawl-delay: {delay}")
+        if h in sitemap_hosts:
+            body_lines.append(f"Sitemap: http://{h}/sitemap.xml")
         body = "\n".join(body_lines) + "\n"
         corpus.robots[h] = (rules, float(delay))
         # robots bodies are plain text; golden text per §B.2 = ws-collapsed
@@ -248,6 +274,59 @@ def generate_corpus(spec: CorpusSpec = CorpusSpec()) -> Corpus:
             html, text = _render_page(url, links, vocab, rng,
                                       spec.paragraphs_per_page, latin1)
             corpus.rows.append((url, warc_ts, html, text, lang))
+
+    # --- sitemap + orphan rows (op 49) ------------------------------------
+    if sitemap_hosts:
+        from shaman_scraping_spark.functions.html import extract_text
+
+        def _urlset(urls):
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                'sitemap/0.9">\n'
+                + "".join(f"<url><loc>{u}</loc></url>\n" for u in urls)
+                + "</urlset>\n"
+            )
+            return body.encode("utf-8")
+
+        for h in sorted(sitemap_hosts):
+            info = sitemap_hosts[h]
+            lang = host_lang[h]
+            vocab = _VOCAB[lang]
+            for ou in corpus.orphans[h]:
+                ts_counter += 1
+                warc_ts = BASE_TS.replace(second=0) + _ts_delta(ts_counter)
+                html, text = _render_page(
+                    ou, [], vocab, rng, spec.paragraphs_per_page, False
+                )
+                corpus.rows.append((ou, warc_ts, html, text, lang))
+            listed = info["listed"]
+            docs: list[tuple[str, bytes]] = []
+            if info["index"] and len(listed) >= 2:
+                mid = len(listed) // 2
+                child_urls = [f"http://{h}/sitemap-{n}.xml"
+                              for n in range(2)]
+                idx = (
+                    '<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<sitemapindex xmlns="http://www.sitemaps.org/'
+                    'schemas/sitemap/0.9">\n'
+                    + "".join(f"<sitemap><loc>{cu}</loc></sitemap>\n"
+                              for cu in child_urls)
+                    + "</sitemapindex>\n"
+                ).encode("utf-8")
+                docs.append((f"http://{h}/sitemap.xml", idx))
+                docs.append((child_urls[0], _urlset(listed[:mid])))
+                docs.append((child_urls[1], _urlset(listed[mid:])))
+            else:
+                docs.append((f"http://{h}/sitemap.xml", _urlset(listed)))
+            for su, body in docs:
+                ts_counter += 1
+                warc_ts = BASE_TS.replace(second=0) + _ts_delta(ts_counter)
+                # golden text via the SHARED extraction kernel, like
+                # every other corpus row (byte-identity invariant)
+                corpus.rows.append(
+                    (su, warc_ts, body, extract_text(body), lang)
+                )
 
     # --- seeds: roots of ~10 hosts, some variant-spelled ------------------
     seed_hosts = hosts[: min(10, len(hosts))]

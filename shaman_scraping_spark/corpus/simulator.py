@@ -133,6 +133,42 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
                 robots_cache[h] = ([], cfg.default_crawl_delay)
         return robots_cache[h]
 
+    # op 49: sitemap locs found while registering this wave's new
+    # hosts; consumed as wave-w discoveries at depth 0 in step 5
+    # (sources/sitemap.py pins the spec; same regexes as the engine)
+    sitemap_found: list[tuple[str, str]] = []   # (loc url, src canon)
+
+    def collect_sitemaps(h: str) -> None:
+        from shaman_scraping_spark.functions.html import decode_html
+        from shaman_scraping_spark.sources.sitemap import (
+            is_sitemap_index, sitemap_locs, sitemap_urls_of_robots,
+        )
+
+        entry = by_canon.get(f"http://{h}/robots.txt") or by_canon.get(
+            f"https://{h}/robots.txt"
+        )
+        body = decode_html(entry[2]) if entry is not None else None
+        for su in sitemap_urls_of_robots(body):
+            sc = canonicalize_url_py(su)
+            e = by_canon.get(sc) if sc else None
+            if e is None:
+                continue
+            b = decode_html(e[2])
+            if is_sitemap_index(b):
+                for cu in sitemap_locs(b):
+                    cc = canonicalize_url_py(cu)
+                    ce = by_canon.get(cc) if cc else None
+                    if ce is None:
+                        continue
+                    cb = decode_html(ce[2])
+                    if is_sitemap_index(cb):
+                        continue        # nested indexes ignored (spec)
+                    for loc in sitemap_locs(cb):
+                        sitemap_found.append((loc, cc))
+            else:
+                for loc in sitemap_locs(b):
+                    sitemap_found.append((loc, sc))
+
     def ensure_host(h: str, wave: int) -> None:
         if h in host_state:
             return
@@ -144,6 +180,8 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
             "rules": rules, "delay": delay, "tokens": 0.0, "budget": 0,
             "wave_updated": wave - 1,
         }
+        if getattr(cfg, "use_sitemaps", False):
+            collect_sitemaps(h)
 
     for wave in range(cfg.max_waves):
         if not frontier:
@@ -228,6 +266,15 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
             prev = discoveries.get(lc)
             if prev is None or cand < prev:
                 discoveries[lc] = cand
+
+        # op 49: sitemap locs of hosts registered this wave are wave-w
+        # discoveries at depth 0 (parent = the sitemap document) —
+        # engine twin: the sm_links union in plans/engine.py step 5
+        for loc, src in sitemap_found:
+            lc = canonicalize_url_py(loc)
+            if lc is not None:
+                discover(lc, 0, src)
+        sitemap_found.clear()
 
         def walk_chain(src: str, d0: int) -> None:
             """Collect redirect-chain candidates along the STATIC graph

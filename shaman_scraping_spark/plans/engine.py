@@ -292,6 +292,65 @@ class CrawlEngine:
             config.user_agent,
         ).persist()
         self.robots_dim.count()
+        # sitemap dimension (op 49, spec in sources/sitemap.py): built
+        # ONCE at init like the robots dim — (host, sm_src, url) rows
+        # of every <loc> a host's robots-declared sitemaps list, with
+        # sitemapindex documents expanded one level.  Pure Catalyst
+        # (UTF-8 cast + regexp_extract_all, the SAME patterns the
+        # oracle's `re` uses); per-wave cost is one tiny join against
+        # the newly-discovered hosts.
+        if config.use_sitemaps:
+            from shaman_scraping_spark.sources.sitemap import (
+                INDEX_MARKER, LOC_RX, SITEMAP_DIRECTIVE_RX,
+            )
+
+            bodies = self.pages.select(
+                "url_canon", "host", F.col("html").cast("string").alias("__b")
+            )
+            robots_rows = bodies.filter(
+                F.col("url_canon").endswith("/robots.txt")
+                & (
+                    F.col("url_canon")
+                    == F.concat(
+                        F.split_part(F.col("url_canon"), F.lit("://"),
+                                     F.lit(1)),
+                        F.lit("://"), F.col("host"), F.lit("/robots.txt"),
+                    )
+                )
+            )
+            sm_urls = with_url_columns(
+                robots_rows.select(
+                    F.col("host").alias("__rhost"),
+                    F.explode(F.regexp_extract_all(
+                        "__b", F.lit(SITEMAP_DIRECTIVE_RX), F.lit(1)
+                    )).alias("url"),
+                )
+            ).select("__rhost", F.col("url_canon").alias("__src"))
+            doc = bodies.select(F.col("url_canon").alias("__src"), "__b")
+            lvl0 = sm_urls.join(doc, "__src")
+            leaves = lvl0.filter(~F.col("__b").contains(INDEX_MARKER))
+            children = with_url_columns(
+                lvl0.filter(F.col("__b").contains(INDEX_MARKER)).select(
+                    "__rhost",
+                    F.explode(F.regexp_extract_all(
+                        "__b", F.lit(LOC_RX), F.lit(1)
+                    )).alias("url"),
+                )
+            ).select("__rhost", F.col("url_canon").alias("__src"))
+            leaves = leaves.unionByName(
+                children.join(doc, "__src")
+                .filter(~F.col("__b").contains(INDEX_MARKER))
+            )
+            self.sitemap_dim = leaves.select(
+                F.col("__rhost").alias("host"),
+                F.col("__src").alias("sm_src"),
+                F.explode(F.regexp_extract_all(
+                    "__b", F.lit(LOC_RX), F.lit(1)
+                )).alias("url"),
+            ).persist()
+            self.sitemap_dim.count()
+        else:
+            self.sitemap_dim = None
         # the wave loop's single Python boundary (redirect+text+links
         # in one Arrow pass over the fat html column)
         self.process_udf = make_process_html_udf(config.link_patterns)
@@ -369,6 +428,7 @@ class CrawlEngine:
         leaked cache blocks degrade every later run in the JVM."""
         for df in (getattr(self, "pages_meta", None),
                    getattr(self, "robots_dim", None),
+                   getattr(self, "sitemap_dim", None),
                    getattr(self, "redirect_closure", None)):
             if df is not None:
                 try:
@@ -970,8 +1030,21 @@ class CrawlEngine:
             F.col("redirect_to").alias("url"),
         )
         discovery_ts = cfg.t0 + timedelta(seconds=(wave + 1) * cfg.wave_seconds)
+        links_union = links_200.unionByName(links_302)
+        if self.sitemap_dim is not None:
+            # op 49: newly-registered hosts contribute their sitemaps'
+            # <loc> entries as wave-w discoveries at depth 0 (parent =
+            # the sitemap document; parent_depth -1 → depth 0 below),
+            # flowing through the SAME scope/dedup/seen/robots pipeline
+            # as anchor links
+            sm_links = new_hosts.join(self.sitemap_dim, "host").select(
+                F.col("sm_src").alias("parent_canon"),
+                F.lit(-1).alias("parent_depth"),
+                "url",
+            )
+            links_union = links_union.unionByName(sm_links)
         new_links = (
-            with_url_columns(links_200.unionByName(links_302))
+            with_url_columns(links_union)
             .withColumn("depth", F.col("parent_depth") + 1)
             .withColumn("discovery_ts", F.lit(discovery_ts))
             .withColumn("wave_discovered", F.lit(wave + 1))
