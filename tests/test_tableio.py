@@ -83,3 +83,34 @@ def test_iceberg_round_trip(spark, tmp_path):  # pragma: no cover
     df = spark.range(0, 5)
     io.commit("t", df, wave=0)
     assert io.load("t", 0).count() == 5
+
+
+def test_bucketed_commit_crash_rerun_is_idempotent(spark, tmp_path):
+    """commit_bucketed's crash model: a wave whose data landed but
+    whose manifest write never happened (crash between the two) must
+    be invisible to readers and fully replaced by the re-run."""
+    io = TableIO(spark, tmp_path)
+    df0 = spark.range(0, 100).selectExpr(
+        "id AS url_hash", "cast(id AS string) AS url_canon")
+    io.commit_bucketed("seen", df0, wave=0, n_buckets=4,
+                       cols=["url_hash", "url_canon"])
+    assert io.row_count("seen", 0) == 100
+    # simulate the crash: wave-1 files written, manifest missing
+    df1 = spark.range(100, 150).selectExpr(
+        "id AS url_hash", "cast(id AS string) AS url_canon")
+    io.commit_bucketed("seen", df1, wave=1, n_buckets=4,
+                       cols=["url_hash", "url_canon"])
+    (tmp_path / "seen" / "manifest-000001.json").unlink()
+    (tmp_path / "seen" / "latest.json").unlink()
+    io._atomic_write_json(tmp_path / "seen" / "latest.json", {"wave": 0})
+    # reader at the last manifested wave sees only wave 0
+    assert io.load("seen", 0).count() == 100
+    # idempotent re-run replaces the partial partition — no double rows
+    io.commit_bucketed("seen", df1, wave=1, n_buckets=4,
+                       cols=["url_hash", "url_canon"])
+    assert io.load("seen", 1).count() == 150
+    assert io.load_delta("seen", 1).count() == 50
+    # fresh-session catalog re-registration path
+    io2 = TableIO(spark, tmp_path)
+    spark.sql(f"DROP TABLE IF EXISTS {io2._bucketed_name('seen')}")
+    assert io2.load("seen", 1).count() == 150
