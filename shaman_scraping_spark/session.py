@@ -73,13 +73,16 @@ def get_spark(
         # failures "Retried waiting for GCLocker too often" and long
         # stalls at local[32] with 50KB binary rows); raising the
         # retry budget is the standard mitigation on Java 17
+        # -Xss8m: the URL-canonicalization Catalyst expression is a
+        # deep tree; streaming plans that embed it twice (gate + batch
+        # side) overflowed the default thread stack during analysis
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=64 "
+                "-XX:GCLockerRetryAllocationCount=64 -Xss8m "
                 + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", ""))
         .config("spark.executor.extraJavaOptions",
                 "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=64 "
+                "-XX:GCLockerRetryAllocationCount=64 -Xss8m "
                 + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", ""))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

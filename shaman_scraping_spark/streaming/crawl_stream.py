@@ -223,6 +223,52 @@ class StreamingCrawl:
             config.default_crawl_delay, config.user_agent,
         ).persist()
         self.robots_dim.count()
+        # op 49 in streaming mode: host → sitemap locs, collected once
+        # via the SAME pure kernels as the batch engine/oracle; per
+        # batch, hosts seen for the first time enqueue their locs at
+        # depth 0 (driver-side registry is bounded by host count)
+        self._sitemap_locs: dict[str, list[tuple[str, str]]] = {}
+        self._hosts_registered: set[str] = set()
+        if config.use_sitemaps:
+            from shaman_scraping_spark.functions.html import decode_html
+            from shaman_scraping_spark.functions.url import (
+                canonicalize_url_py,
+            )
+            from shaman_scraping_spark.sources.sitemap import (
+                is_sitemap_index, sitemap_locs, sitemap_urls_of_robots,
+            )
+
+            bodies = {
+                r["url_canon"]: bytes(r["html"])
+                for r in self.pages.select("url_canon", "html").collect()
+                if "/robots.txt" in r["url_canon"]
+                or "sitemap" in r["url_canon"]
+            }
+            for rc, rb in bodies.items():
+                if not rc.endswith("/robots.txt"):
+                    continue
+                host = rc.split("://", 1)[1].split("/", 1)[0]
+                locs: list[tuple[str, str]] = []
+                for su in sitemap_urls_of_robots(decode_html(rb)):
+                    sc = canonicalize_url_py(su)
+                    b = bodies.get(sc) if sc else None
+                    if b is None:
+                        continue
+                    sb = decode_html(b)
+                    if is_sitemap_index(sb):
+                        for cu in sitemap_locs(sb):
+                            cc = canonicalize_url_py(cu)
+                            cb = bodies.get(cc) if cc else None
+                            if cb is None:
+                                continue
+                            csb = decode_html(cb)
+                            if not is_sitemap_index(csb):
+                                locs += [(loc, cc)
+                                         for loc in sitemap_locs(csb)]
+                    else:
+                        locs += [(loc, sc) for loc in sitemap_locs(sb)]
+                if locs:
+                    self._sitemap_locs[host] = locs
         self._batch_no = 0
 
     # -- enqueue: seen-at-enqueue-time discipline --------------------------
@@ -291,6 +337,14 @@ class StreamingCrawl:
         if batch_df.isEmpty():
             return
         cfg = self.config
+        # truncate the micro-batch's lineage: the incoming plan embeds
+        # the whole gated pipeline (robots UDF + canonicalization
+        # expression tree + stateful bucket + source); composing the
+        # fetch join, link extraction and re-enqueue plans on top of it
+        # overflowed the stream-execution thread's stack (measured:
+        # java.lang.StackOverflowError at plan analysis).  Micro-batch
+        # results are executor-local blocks — no driver collect.
+        batch_df = batch_df.localCheckpoint(eager=True)
         if "scheduled" in batch_df.columns:
             # politeness-gated stream: fetch the scheduled rows, give
             # the over-quota remainder back to the watched dir with a
@@ -303,6 +357,32 @@ class StreamingCrawl:
                 return
         batch_df = batch_df.drop("scheduled", "crawl_delay", "allowed",
                                  "event_ts")
+        if self._sitemap_locs:
+            # op 49: first sighting of a host enqueues its sitemap locs
+            # (depth 0, parent = the sitemap document) through the
+            # normal enqueue path (seen anti-join + dedup + robots gate
+            # downstream)
+            hosts = {r["host"] for r in
+                     batch_df.select("host").distinct().collect()}
+            new_hosts = hosts - self._hosts_registered
+            self._hosts_registered |= hosts
+            rows = [
+                (loc, src)
+                for h in sorted(new_hosts)
+                for loc, src in self._sitemap_locs.get(h, [])
+            ]
+            if rows:
+                sm = self.spark.createDataFrame(
+                    rows, "url string, parent_canon string"
+                )
+                self.enqueue(
+                    with_url_columns(sm)
+                    .withColumn("depth", F.lit(0))
+                    .withColumn("discovery_ts", F.current_timestamp())
+                    .withColumn("wave_discovered",
+                                F.lit(self._batch_no))
+                    .filter(scope_predicate(self.config))
+                )
         pages_min = self.pages.select(
             "url_canon", "html", F.col("lang").alias("page_lang")
         )

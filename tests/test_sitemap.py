@@ -119,3 +119,31 @@ def test_sitemaps_off_by_default_orphans_unreached(
     all_orphans = {ou for ous in corpus.orphans.values() for ou in ous}
     assert not (all_orphans & fetched)
     eng.close()
+
+
+@pytest.mark.slow
+def test_streaming_sitemap_orphans_fetched(spark, tmp_path_factory):
+    """op 49 in streaming mode: sitemap locs of newly-sighted hosts
+    enqueue at depth 0; orphans get fetched; sitemap docs never do."""
+    from shaman_scraping_spark.streaming.crawl_stream import StreamingCrawl
+
+    corpus = generate_corpus(
+        CorpusSpec(n_hosts=4, n_pages=60, crawl_delays=(0,),
+                   sitemap_frac=1.0)
+    )
+    d = tmp_path_factory.mktemp("sm_stream_corpus")
+    corpus.write(d)
+    cfg = CrawlConfig(seeds=tuple(corpus.seeds), max_waves=50,
+                      use_sitemaps=True)
+    work = tmp_path_factory.mktemp("sm_stream_work")
+    sc = StreamingCrawl(spark, cfg, str(d / "pages.parquet"), str(work))
+    sc.run(idle_timeout_s=12.0, max_wall_s=60.0)
+    fetched = {r["url_canon"] for r in sc.fetched().collect()}
+    seeded_hosts = {s.split("://", 1)[1].split("/", 1)[0].lower()
+                    for s in corpus.seeds}
+    orphan_hit = {
+        ou for h, ous in corpus.orphans.items() if h in seeded_hosts
+        for ou in ous
+    }
+    assert orphan_hit and orphan_hit <= fetched
+    assert not {u for u in fetched if "/sitemap" in u}
