@@ -334,6 +334,17 @@ def q_ngram_jaccard(spark, sf):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_boilerplate(spark, sf):
+    """Cross-document duplicated 3-grams (boilerplate detection):
+    shingles in ≥ 4 distinct docs, top-20 by (n_docs desc, shingle)."""
+    from shaman_scraping_spark.operators.dedup import boilerplate_shingles
+
+    return boilerplate_shingles(
+        _t_wide(spark, sf, "documents"), "doc_id", "text",
+        k=3, min_docs=4, top=20,
+    )
+
+
 def q_ann_topk(spark, sf):
     """Brute-force cosine top-5 for one query vector (ids+rank only —
     float sims differ across engines in the last ulp)."""
@@ -405,6 +416,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "boilerplate_ngrams": q_boilerplate,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -550,6 +562,20 @@ ORACLES = {
                         '\\s+'), t -> t = 'the')) > 0
                     THEN 'en-ish' ELSE 'other' END AS guess
         FROM documents
+    """,
+    "boilerplate_ngrams": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i:i+2], ' ') AS shingle
+          FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+          ), unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+        )
+        SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        FROM sh GROUP BY shingle HAVING count(*) >= 4
+        ORDER BY n_docs DESC, shingle ASC LIMIT 20
     """,
     "ngram_jaccard": """
         WITH sh AS (

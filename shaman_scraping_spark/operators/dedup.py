@@ -43,6 +43,41 @@ def shingles_col(text_col: str = "text", k: int = 3):
     )
 
 
+def boilerplate_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, min_docs: int = 5, top: int = 20,
+) -> DataFrame:
+    """Cross-document duplicated word k-grams — the boilerplate-
+    detection step of a training-data pipeline (navigation chrome,
+    license footers, template text repeat verbatim across documents
+    and should be stripped or down-weighted before training).
+
+    Output: (shingle, n_docs) for shingles present in ≥ *min_docs*
+    DISTINCT documents, ordered (n_docs desc, shingle asc), top-k —
+    a total order, so results are deterministic under any
+    partitioning.
+
+    Scale shape (100 TB): explode → DISTINCT (shingle, doc) →
+    count — the explicit two-stage form instead of count_distinct's
+    internal expand: both shuffles get map-side partial aggregation,
+    and a boilerplate shingle appearing 10^6 times inside one crawl
+    partition collapses locally before it ships.  The final top-k is
+    TakeOrderedAndProject (no global sort).
+    """
+    pairs = (
+        df.select(F.col(id_col).alias("__doc"),
+                  F.explode(shingles_col(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+        .limit(top)
+    )
+
+
 # --- exact ------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, dup_cols: list[str], id_col: str) -> DataFrame:

@@ -238,3 +238,26 @@ def test_embedding_neardup(vectors):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 100) in got and (0, 101) in got
+
+
+def test_boilerplate_shingles_planted(spark):
+    """A footer sentence planted into many docs dominates the
+    boilerplate ranking; unique text stays below the threshold."""
+    from shaman_scraping_spark.operators.dedup import boilerplate_shingles
+
+    footer = "all rights reserved worldwide"
+    rows = [(i, f"unique body {i} text alpha beta {footer}")
+            for i in range(8)]
+    rows += [(100 + i, f"totally different content {i} gamma delta")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = boilerplate_shingles(df, "doc_id", "text", k=3, min_docs=5,
+                               top=10).collect()
+    assert got, "planted boilerplate not detected"
+    top_shingles = {r["shingle"] for r in got}
+    assert "all rights reserved" in top_shingles
+    assert "rights reserved worldwide" in top_shingles
+    assert all(r["n_docs"] == 8 for r in got
+               if "rights reserved" in r["shingle"])
+    # nothing from the unique docs crosses min_docs
+    assert not any("totally different" in s for s in top_shingles)
