@@ -83,6 +83,10 @@ class CorpusSpec:
     # (op 49).  0 (default) adds nothing and consumes no rng draws —
     # existing corpora and goldens stay byte-identical.
     sitemap_frac: float = 0.0
+    # RFC 9309 §2.2.3 wildcard rules: private hosts additionally get
+    # `Disallow: /p/*3$` (blocks tree pages whose path ends in 3).
+    # Default off; adds no rng draws.
+    wildcard_robots: bool = False
 
 
 @dataclass
@@ -221,6 +225,8 @@ def generate_corpus(spec: CorpusSpec = CorpusSpec()) -> Corpus:
         rules = []
         if h in private_hosts:
             rules = [(False, "/private"), (True, "/private/ok")]
+            if spec.wildcard_robots:
+                rules.append((False, "/p/*3$"))
         body_lines = ["User-agent: *"]
         for allow, prefix in rules:
             body_lines.append(("Allow: " if allow else "Disallow: ") + prefix)

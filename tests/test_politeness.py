@@ -197,3 +197,46 @@ def test_agent_group_e2e(spark, agent_corpus, tmp_path_factory):
     # `*` still governs host b
     assert "http://b.example/open/1" in fetched
     assert "http://b.example/hidden/1" not in fetched
+
+
+def test_wildcard_robots_e2e(spark, tmp_path_factory):
+    """Engine ≡ sequential oracle on a corpus whose robots carry an
+    RFC 9309 wildcard rule (`Disallow: /p/*3$`): wildcard-blocked
+    pages are seen-but-never-fetched, parity is exact."""
+    from shaman_scraping_spark.corpus.generator import (
+        CorpusSpec, generate_corpus,
+    )
+    from shaman_scraping_spark.corpus.simulator import simulate
+
+    corpus = generate_corpus(
+        CorpusSpec(n_hosts=4, n_pages=80, crawl_delays=(0,),
+                   private_frac=1.0, wildcard_robots=True)
+    )
+    assert any(
+        any(p == "/p/*3$" for _a, p in rules)
+        for rules, _d in corpus.robots.values()
+    )
+    d = tmp_path_factory.mktemp("wc_corpus")
+    corpus.write(d)
+    cfg = CrawlConfig(seeds=tuple(corpus.seeds), max_waves=6)
+    sim = simulate(corpus, cfg)
+    state = tmp_path_factory.mktemp("wc_state")
+    eng = CrawlEngine(spark, cfg, str(d / "pages.parquet"), str(state),
+                      record_emission=True)
+    eng.run()
+    got = sorted(
+        (r["wave"], r["emit_rank"], r["url"], r["depth"], r["host"])
+        for r in eng.io.load("emission").collect()
+    )
+    assert got == sorted(sim.emissions)
+    seen = {r["url_canon"] for r in eng.io.load("seen").collect()}
+    assert seen == sim.seen
+    fetched = {r["url_canon"] for r in eng.io.load("fetched").collect()}
+    blocked = {
+        u for u in seen
+        if u.split(".example", 1)[1].endswith("3")
+        and "/p/" in u and "?" not in u
+    }
+    assert blocked, "no wildcard-blocked URL was ever discovered"
+    assert not (blocked & fetched)
+    eng.close()
