@@ -12,8 +12,10 @@ checkout empty §0) as::
 
 Subcommands: ``crawl`` (batch wave loop), ``stream`` (continuous
 micro-batch mode), ``stats`` (crawl-state report), ``gen-corpus``
-(synthetic corpus).  Local runs work without spark-submit:
-``python -m shaman_scraping_spark.cli crawl ...``.
+(synthetic corpus), ``clean`` (training-data pipeline: exact dedup →
+MinHash near-dup removal → boilerplate strip → quality/lang annotate
+over a parquet document corpus — plans/clean.py).  Local runs work
+without spark-submit: ``python -m shaman_scraping_spark.cli crawl ...``.
 """
 
 from __future__ import annotations
@@ -98,6 +100,21 @@ def build_parser() -> argparse.ArgumentParser:
     p_gen.add_argument("--pages", type=int, default=20_000)
     p_gen.add_argument("--hosts", type=int, default=50)
     p_gen.add_argument("--seed", type=int, default=42)
+
+    p_clean = sub.add_parser(
+        "clean", help="training-data cleaning pipeline over a parquet corpus"
+    )
+    p_clean.add_argument("--input", required=True,
+                         help="document corpus parquet path")
+    p_clean.add_argument("--output", required=True,
+                         help="cleaned corpus output dir")
+    p_clean.add_argument("--id-col", default="doc_id")
+    p_clean.add_argument("--text-col", default="text")
+    p_clean.add_argument("--minhash-threshold", type=float, default=0.6)
+    p_clean.add_argument("--min-tokens", type=int, default=0)
+    p_clean.add_argument("--boilerplate-min-docs", type=int, default=None)
+    p_clean.add_argument("--boilerplate-top", type=int, default=20)
+    p_clean.add_argument("--master", default=None)
     return ap
 
 
@@ -118,6 +135,24 @@ def main(argv: list[str] | None = None) -> int:
     from shaman_scraping_spark.session import get_spark
 
     spark = get_spark("shaman-scraping-spark-cli", master=args.master)
+
+    if args.cmd == "clean":
+        import json
+
+        from shaman_scraping_spark.plans.clean import clean_corpus
+
+        df = spark.read.parquet(args.input)
+        cleaned, stats = clean_corpus(
+            df, id_col=args.id_col, text_col=args.text_col,
+            minhash_threshold=args.minhash_threshold,
+            boilerplate_min_docs=args.boilerplate_min_docs,
+            boilerplate_top=args.boilerplate_top,
+            min_tokens=args.min_tokens,
+        )
+        cleaned.write.mode("overwrite").parquet(args.output)
+        stats["output_rows"] = spark.read.parquet(args.output).count()
+        print(json.dumps(stats, sort_keys=True))
+        return 0
 
     if args.cmd == "stats":
         from pyspark.sql import functions as F

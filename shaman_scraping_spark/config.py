@@ -34,6 +34,20 @@ same spec — tests/test_crawl_e2e.py asserts equality):
 * Emission order within a wave: (depth, discovery_ts, url_canon) —
   url_canon as the final tiebreak makes ordering deterministic under
   any partitioning (SURVEY.md §2C op 15).
+* Batch/streaming determinism boundary: every BATCH-engine timestamp
+  derives from (t0, wave, wave_seconds) — no wall clock anywhere, so
+  identical inputs yield byte-identical state at any parallelism.
+  STREAMING mode (streaming/crawl_stream.py) deliberately runs on
+  wall clocks instead: ``discovery_ts``/``fetch_ts`` stamp
+  ``F.current_timestamp()``, and politeness ``requeue`` re-stamps
+  ``event_ts`` to "now" so a quota-starved host's bucket keeps
+  refilling as real time passes — the reference's continuous
+  behavior, where arrival order IS micro-batch-dependent.  The
+  streaming invariants are therefore SET-valued (fetched/seen sets ≡
+  batch on a delay-0 corpus; politeness envelope on a throttled one,
+  tests/test_streaming.py), never log-ordered; only the stateful
+  token-bucket kernel itself is clocked on event time and replays
+  deterministically from the checkpoint.
 """
 
 from __future__ import annotations

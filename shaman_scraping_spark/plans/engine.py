@@ -78,14 +78,25 @@ def local_path(path: str) -> Path | None:
     (s3://, hdfs://, …) that ``Path.stat()`` cannot probe — callers
     must then skip driver-side sizing/fingerprinting (ADVICE r3: the
     probes crashed engine init on exactly the cluster paths the
-    bucketed strategy targets)."""
+    bucketed strategy targets).
+
+    file:// URIs parse via urllib (ADVICE r4: slicing at len(match)-1
+    yielded the implementation-defined ``//tmp/x`` anchor for
+    ``file:///tmp/x`` and misread ``file://host/path``'s authority as
+    the path root); a non-local authority is treated like any other
+    remote scheme."""
     import re
+    from urllib.parse import urlsplit
+    from urllib.request import url2pathname
 
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
     if m is None:
         return Path(path)
-    if m.group(1) == "file":
-        return Path(path[len(m.group(0)) - 1:])
+    if m.group(1).lower() == "file":
+        parts = urlsplit(path)
+        if parts.netloc not in ("", "localhost"):
+            return None  # remote authority — not a driver-local path
+        return Path(url2pathname(parts.path))
     return None
 
 
@@ -220,15 +231,29 @@ class CrawlEngine:
         if config.seen_layout not in ("dirs", "bucketed"):
             raise ValueError(f"unknown seen_layout: {config.seen_layout}")
         self.seen_layout = config.seen_layout
-        # a state dir is laid out for exactly one layout — resuming it
-        # under the other would misread frontier/host_state manifests
+        # a state dir is laid out for exactly one layout pair — resuming
+        # it under another would misread frontier/host_state manifests
+        # (state_layout) or silently drop / crash on the seen chain
+        # (seen_layout; ADVICE r4: a dirs→bucketed resume read only the
+        # bucketed catalog rows, dropping every earlier dirs-wave seen
+        # row, and bucketed→dirs died on manifest chaining)
         lp = self.state_dir / "_engine.json"
         if lp.exists():
-            got = json.loads(lp.read_text()).get("state_layout")
+            meta = json.loads(lp.read_text())
+            got = meta.get("state_layout")
             if got != self.state_layout:
                 raise ValueError(
                     f"state dir was written with state_layout={got!r}; "
                     f"config asks for {self.state_layout!r} — clear the "
+                    "state dir or match the existing layout"
+                )
+            got_seen = meta.get("seen_layout")
+            # pre-r5 state dirs did not record seen_layout — skip the
+            # guard there rather than refuse every legacy resume
+            if got_seen is not None and got_seen != self.seen_layout:
+                raise ValueError(
+                    f"state dir was written with seen_layout={got_seen!r}; "
+                    f"config asks for {self.seen_layout!r} — clear the "
                     "state dir or match the existing layout"
                 )
         # Corpus strategy (measured, see BENCH/BASELINE.md notes):
@@ -301,53 +326,10 @@ class CrawlEngine:
         # the newly-discovered hosts.
         if config.use_sitemaps:
             from shaman_scraping_spark.sources.sitemap import (
-                INDEX_MARKER, LOC_RX, SITEMAP_DIRECTIVE_RX,
+                build_sitemap_dim,
             )
 
-            bodies = self.pages.select(
-                "url_canon", "host", F.col("html").cast("string").alias("__b")
-            )
-            robots_rows = bodies.filter(
-                F.col("url_canon").endswith("/robots.txt")
-                & (
-                    F.col("url_canon")
-                    == F.concat(
-                        F.split_part(F.col("url_canon"), F.lit("://"),
-                                     F.lit(1)),
-                        F.lit("://"), F.col("host"), F.lit("/robots.txt"),
-                    )
-                )
-            )
-            sm_urls = with_url_columns(
-                robots_rows.select(
-                    F.col("host").alias("__rhost"),
-                    F.explode(F.regexp_extract_all(
-                        "__b", F.lit(SITEMAP_DIRECTIVE_RX), F.lit(1)
-                    )).alias("url"),
-                )
-            ).select("__rhost", F.col("url_canon").alias("__src"))
-            doc = bodies.select(F.col("url_canon").alias("__src"), "__b")
-            lvl0 = sm_urls.join(doc, "__src")
-            leaves = lvl0.filter(~F.col("__b").contains(INDEX_MARKER))
-            children = with_url_columns(
-                lvl0.filter(F.col("__b").contains(INDEX_MARKER)).select(
-                    "__rhost",
-                    F.explode(F.regexp_extract_all(
-                        "__b", F.lit(LOC_RX), F.lit(1)
-                    )).alias("url"),
-                )
-            ).select("__rhost", F.col("url_canon").alias("__src"))
-            leaves = leaves.unionByName(
-                children.join(doc, "__src")
-                .filter(~F.col("__b").contains(INDEX_MARKER))
-            )
-            self.sitemap_dim = leaves.select(
-                F.col("__rhost").alias("host"),
-                F.col("__src").alias("sm_src"),
-                F.explode(F.regexp_extract_all(
-                    "__b", F.lit(LOC_RX), F.lit(1)
-                )).alias("url"),
-            ).persist()
+            self.sitemap_dim = build_sitemap_dim(self.pages).persist()
             self.sitemap_dim.count()
         else:
             self.sitemap_dim = None
@@ -729,7 +711,8 @@ class CrawlEngine:
         self.io.commit("host_state", empty_hs, wave=0, mode=state_mode)
         TableIO._atomic_write_json(
             self.state_dir / "_engine.json",
-            {"state_layout": self.state_layout},
+            {"state_layout": self.state_layout,
+             "seen_layout": self.seen_layout},
         )
         # no wave executed yet; wave-0 inputs ready.  The seed delta is
         # the whole frontier, so its manifest count answers emptiness

@@ -240,6 +240,77 @@ def test_embedding_neardup(vectors):
     assert (0, 100) in got and (0, 101) in got
 
 
+def test_embedding_neardup_pair_recall(spark):
+    """VERDICT r4 item 6: MEASURED pair-recall of the banded
+    embedding near-dup blocking vs the exact all-pairs baseline — the
+    numbers documented in operators/similarity.py.
+
+    Two regimes: (a) the (8, 8) default on planted TRUE near-
+    duplicates (testdata vectors + noise copies at cosine ≥ 0.95, the
+    operator's design point) must be ≈ 1; (b) the natural cosine-0.35
+    pair set of the raw sf0.01 embeddings — random moderate-similarity
+    vectors, LSH's hard case — where (4 planes, 16 tables) must clear
+    0.8 and banding must beat the old single-table construction."""
+    import os
+
+    import numpy as np
+
+    from shaman_scraping_spark.operators.similarity import cosine
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF001", "/root/testdata/sf0.01")
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+    def exact_pairs(df, thr):
+        a, b = df.alias("a"), df.alias("b")
+        return {
+            (r["id_a"], r["id_b"])
+            for r in (
+                a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                .withColumn("cs", cosine(F.col("a.embedding"),
+                                         F.col("b.embedding")))
+                .filter(F.col("cs") >= thr)
+                .select(F.col("a.vec_id").alias("id_a"),
+                        F.col("b.vec_id").alias("id_b"))
+            ).collect()
+        }
+
+    def lsh_pairs(df, thr, **kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(
+                df, threshold=thr, dim=64, **kw
+            ).collect()
+        }
+
+    # (a) planted near-duplicates at the default config
+    rng = np.random.default_rng(42)
+    data = []
+    for r in raw.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        data.append((int(r["vec_id"]), [float(x) for x in v]))
+        w = v + rng.normal(0, 0.12 * np.linalg.norm(v) / np.sqrt(64), 64)
+        data.append((int(r["vec_id"]) + 100000, [float(x) for x in w]))
+    planted = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>"
+    )
+    truth = exact_pairs(planted, 0.95)
+    assert len(truth) >= 400  # one planted pair per source vector
+    got = lsh_pairs(planted, 0.95)  # the (8, 8) default
+    recall_default = len(truth & got) / len(truth)
+    assert recall_default >= 0.95, recall_default
+
+    # (b) natural moderate-similarity pairs: banding beats single-table
+    truth35 = exact_pairs(raw, 0.35)
+    assert len(truth35) > 100
+    got_banded = lsh_pairs(raw, 0.35, n_planes=4, n_tables=16)
+    got_single = lsh_pairs(raw, 0.35, n_planes=12, n_tables=1)
+    recall_banded = len(truth35 & got_banded) / len(truth35)
+    recall_single = len(truth35 & got_single) / len(truth35)
+    assert recall_banded >= 0.8, recall_banded
+    assert recall_banded > recall_single
+
+
 def test_boilerplate_shingles_planted(spark):
     """A footer sentence planted into many docs dominates the
     boilerplate ranking; unique text stays below the threshold."""
