@@ -222,6 +222,18 @@ class CrawlConfig:
     # robots gate apply as for any discovered link.  sitemapindex
     # documents expand one level.  Off by default.
     use_sitemaps: bool = False
+    # End-of-wave state commits as ONE Spark job (True, default): the
+    # plain-layout lineage/seen/frontier/host_state deltas write
+    # through a single partitionBy("__table") sink
+    # (TableIO.commit_multi) instead of four concurrent jobs.  The
+    # deltas are small, so their wall cost is per-JOB driver fixed
+    # cost — the one term that does not shrink with cluster size
+    # (BENCH/DECOMP.md §5); one job pays it once per wave.  Manifest
+    # chains, atomicity and resume are identical (twin-tested).
+    # Bucketed seen/frontier layouts keep their own saveAsTable
+    # commits (concurrent with the merged job).  False restores the
+    # per-table concurrent jobs.
+    merged_commits: bool = True
     # Delta-mode compaction interval: every K waves the frontier /
     # host_state / seen append chains are rewritten into one data dir
     # (frontier: seen-filtered + deduped; host_state: latest row per

@@ -310,6 +310,112 @@ class TableIO:
         self._atomic_write_json(self._manifest_path(table, wave), manifest)
         self._atomic_write_json(self._latest_pointer(table), {"wave": wave})
 
+    def commit_multi(self, parts: list[tuple[str, DataFrame, str, int]],
+                     group_wave: int) -> None:
+        """Commit several tables' wave data in ONE Spark job.
+
+        *parts* is ``[(table, df, mode, wave), ...]`` with the same
+        semantics as per-table :meth:`commit` calls (waves may differ
+        per part — e.g. lineage commits at the executing wave while
+        seen/frontier commit their wave+1 inputs); *group_wave* names
+        the shared data directory.  Why: the end-of-wave state
+        commits (lineage/seen/frontier/host_state, + quota_log/emission
+        under record_emission) are independent writes of mostly-small
+        DataFrames, so their wall cost is dominated by per-JOB fixed
+        cost — driver scheduling, commit protocol, Py4J round-trips —
+        not by data.  Running them as concurrent jobs (the r1→r4
+        design) still pays that fixed cost once per table per wave;
+        at 1000-executor scale the per-wave driver latency is the one
+        term that does NOT shrink with cluster size (BENCH/DECOMP.md
+        §5).  This folds them into one job: every part's rows are
+        written through a single ``partitionBy("__table")`` sink under
+        ``root/_multi/data-<wave>``, and each table's manifest then
+        points at its partition subdirectory via a relative path — the
+        manifest chain, atomicity and resume semantics are IDENTICAL
+        to per-table commits (twin-tested).
+
+        Mechanics:
+        * the union needs one superset schema; each part contributes
+          its own columns and nulls for the others'.  Same-named
+          columns must agree on type across parts (checked) — true for
+          the engine's state tables by construction.
+        * written files therefore carry superset columns (all-null for
+          foreign fields, ~free in parquet); each manifest records the
+          table's TRUE column list and readers project to it, so
+          schema-on-read is unchanged.
+        * a part with zero rows writes no partition directory
+          (dynamic-partition write); it falls back to a plain
+          :meth:`commit` — schema preserved, cost one tiny job, rare
+          at steady state.
+        * crash/idempotency: the multi dir is overwritten whole on a
+          wave re-run, and manifests chain from waves strictly before
+          this one, exactly as :meth:`commit` does.
+        """
+        from pyspark.sql import functions as F
+
+        # superset schema: first-seen order, types must agree
+        super_fields: dict[str, str] = {}
+        for table, df, _mode, _w in parts:
+            for f in df.schema.fields:
+                ddl = f.dataType.simpleString()
+                prev = super_fields.get(f.name)
+                if prev is not None and prev != ddl:
+                    raise ValueError(
+                        f"commit_multi: column {f.name!r} has type {ddl} "
+                        f"in {table!r} but {prev} in an earlier part"
+                    )
+                super_fields.setdefault(f.name, ddl)
+        frames = []
+        for table, df, _mode, _w in parts:
+            have = set(df.columns)
+            cols = [
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in super_fields.items()
+            ]
+            frames.append(df.select(*cols).withColumn(
+                "__table", F.lit(table)))
+        unioned = frames[0]
+        for fr in frames[1:]:
+            unioned = unioned.unionByName(fr)
+        multi_dir = self.root / "_multi" / f"data-{group_wave:06d}"
+        (
+            unioned.write.mode("overwrite")
+            .partitionBy("__table")
+            .parquet(str(multi_dir))
+        )
+        for table, df, mode, wave in parts:
+            part_dir = multi_dir / f"__table={table}"
+            if not part_dir.exists():
+                # empty delta: dynamic-partition write emitted nothing —
+                # plain commit preserves the exact schema at ~no cost
+                self.commit(table, df, wave, mode=mode)
+                continue
+            rel = os.path.relpath(part_dir, self._tdir(table))
+            if mode == "append":
+                prev = self._newest_manifest_before(table, wave)
+                dirs = (prev["data_dirs"] if prev else []) + [rel]
+            else:
+                dirs = [rel]
+            self._atomic_write_json(
+                self._manifest_path(table, wave),
+                {
+                    "table": table,
+                    "wave": wave,
+                    "mode": mode,
+                    "data_dirs": dirs,
+                    # readers project to the table's true columns —
+                    # multi part-files carry the superset (see above)
+                    "columns": df.schema.fieldNames(),
+                    "num_rows": self._dir_row_count(part_dir),
+                    "snapshot_id": uuid.uuid5(
+                        uuid.NAMESPACE_URL, f"{table}/{wave}"
+                    ).hex,
+                },
+            )
+            self._atomic_write_json(
+                self._latest_pointer(table), {"wave": wave}
+            )
+
     def compact(self, table: str, transform=None) -> bool:
         """Rewrite an append table's accumulated data_dirs into ONE
         directory and repoint the latest manifest at it (VERDICT r2
@@ -408,7 +514,14 @@ class TableIO:
         if "bucketed" in m:
             return self._load_bucketed(table, m, m["wave"])
         paths = [str(self._tdir(table) / d) for d in m["data_dirs"]]
-        return self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        if "columns" in m:
+            # commit_multi part-files carry the write group's superset
+            # schema — project to this table's true columns (parquet
+            # column resolution is name-based, so chains mixing plain
+            # and multi dirs read fine either way)
+            df = df.select(*m["columns"])
+        return df
 
     def load_delta(self, table: str, wave: int) -> DataFrame | None:
         """Only the data written at *wave* (append tables' per-wave
@@ -424,9 +537,30 @@ class TableIO:
                 .where(F.col("__wave") == F.lit(wave)).drop("__wave")
             )
         d = self._tdir(table) / f"data-{wave:06d}"
-        if not d.exists():
+        if d.exists():
+            return self.spark.read.parquet(str(d))
+        # no plain per-wave dir — a commit_multi wave: its delta is the
+        # manifest's dir set minus the previous manifest's (for append
+        # chains; a snapshot's delta IS the snapshot).  Caveat: not
+        # compaction-aware for waves before a compacted manifest — the
+        # engine only load_delta's the never-compacted `fetched` table.
+        m = self.read_manifest(table, wave)
+        if m is None or "data_dirs" not in m:
             return None
-        return self.spark.read.parquet(str(d))
+        prev_dirs: set = set()
+        if m["mode"] == "append":
+            prev = self._newest_manifest_before(table, wave)
+            if prev is not None:
+                prev_dirs = set(prev.get("data_dirs", ()))
+        dirs = [x for x in m["data_dirs"] if x not in prev_dirs]
+        if not dirs:
+            return None
+        df = self.spark.read.parquet(
+            *[str(self._tdir(table) / x) for x in dirs]
+        )
+        if "columns" in m:
+            df = df.select(*m["columns"])
+        return df
 
     def exists(self, table: str) -> bool:
         return self._latest_pointer(table).exists()

@@ -306,15 +306,25 @@ class CrawlEngine:
             )
         elif config.corpus_buckets:
             self.pages = self._bucketize_corpus(config.corpus_buckets)
-        self.pages_meta = self.pages.drop("html", "text").persist()
+        self.pages_meta = self.pages.drop("html", "text")
+        if self.fetch_join == "broadcast":
+            # broadcast mode keeps the raw corpus plan (canonicalization
+            # expression tree over the parquet scan) — pin the skinny
+            # projection so per-wave plans embed a leaf scan instead
+            # (bucketed mode reads a materialized table already)
+            self.pages_meta = self._pin("pages_meta", self.pages_meta)
+        self.pages_meta = self.pages_meta.persist()
         # robots dimension parsed once for every corpus host (tiny);
         # per-wave host_state growth joins against this, so the pandas
         # UDF parse never re-runs inside the wave loop.
         self.pages_meta.count()  # materialize meta before dependents
         corpus_hosts = self.pages_meta.select("host").distinct()
-        self.robots_dim = build_host_state(
-            self.pages, corpus_hosts, config.default_crawl_delay,
-            config.user_agent,
+        self.robots_dim = self._pin(
+            "robots_dim",
+            build_host_state(
+                self.pages, corpus_hosts, config.default_crawl_delay,
+                config.user_agent,
+            ),
         ).persist()
         self.robots_dim.count()
         # sitemap dimension (op 49, spec in sources/sitemap.py): built
@@ -329,7 +339,9 @@ class CrawlEngine:
                 build_sitemap_dim,
             )
 
-            self.sitemap_dim = build_sitemap_dim(self.pages).persist()
+            self.sitemap_dim = self._pin(
+                "sitemap_dim", build_sitemap_dim(self.pages)
+            ).persist()
             self.sitemap_dim.count()
         else:
             self.sitemap_dim = None
@@ -396,10 +408,36 @@ class CrawlEngine:
             closure = parts[0]
             for p in parts[1:]:
                 closure = closure.unionByName(p)
-            self.redirect_closure = closure.persist()
+            self.redirect_closure = self._pin(
+                "redirect_closure", closure
+            ).persist()
             self.redirect_closure.count()
         else:
             self.redirect_closure = None
+
+    def _pin(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize an init-time dimension to parquet under the
+        state dir and return its scan.
+
+        Why (VERDICT r4 item 5): PySpark analyzes the full logical
+        plan eagerly on every DataFrame transformation, so a deep
+        init-time subtree (the robots pandas-UDF parse, the ≤k-hop
+        redirect closure's join union, the sitemap regex dimension)
+        embedded in every wave's plan is RE-analyzed dozens of times
+        per wave — ~6 s/run of pure Catalyst time on the 6-wave
+        BASELINE profile.  Persisting does not help: persist caches
+        execution, not analysis.  A write-read barrier truncates the
+        lineage to a leaf scan — the same trick the wave loop itself
+        uses (§4 "iterative-loop lineage growth").  Compared to
+        localCheckpoint this is also reliable storage: resume-safe
+        and executor-loss-safe, the honest cluster analogue.  The
+        write doubles as the materialization the old `.count()`
+        forced, and the dims are tiny (hosts / redirect pages, never
+        the corpus).
+        """
+        out = self.state_dir / "_dims" / name
+        df.write.mode("overwrite").parquet(str(out))
+        return self.spark.read.parquet(str(out))
 
     def close(self) -> None:
         """Release the engine's init-time persisted state (skinny
@@ -1178,26 +1216,51 @@ class CrawlEngine:
             F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes_fetched"),
         ).withColumn("wave", F.lit(wave))
 
-        # 8. remaining commits — all independent DataFrames over already-
-        # materialized inputs (ranked is persisted; fdf is a read-back of
-        # files on disk), so they run as CONCURRENT Spark jobs from
-        # driver threads: wall cost ≈ max(job) instead of Σ(job).  r1
-        # ran them serially — 5-6 back-to-back actions of per-wave fixed
-        # cost, the top contributor to the 0.189 scaling-efficiency
-        # miss.  Crash-safety is unchanged: the wave marker is written
-        # strictly after every commit returns, and per-table manifests
-        # chain from waves strictly before this one, so any partial
-        # subset of committed tables is invisible to resume.
+        # 8. remaining commits.  The plain-layout state deltas
+        # (lineage/seen/frontier/host_state) are small, so their wall
+        # cost is per-JOB driver fixed cost, not data — with
+        # merged_commits (default) they write through ONE
+        # partitionBy("__table") job (TableIO.commit_multi), paying
+        # that fixed cost once per wave instead of four times
+        # (BENCH/DECOMP.md §5 located the residual 8→32 inefficiency
+        # exactly here).  Bucketed-layout seen/frontier keep their own
+        # saveAsTable commits and anything else (warc tee, emission
+        # log) stays a separate job; all independent jobs still run
+        # CONCURRENTLY from driver threads over already-materialized
+        # inputs (ranked is persisted; fdf is a read-back of files on
+        # disk): wall ≈ max(job).  Crash-safety is unchanged in both
+        # shapes: the wave marker is written strictly after every
+        # commit returns, and per-table manifests chain from waves
+        # strictly before this one, so any partial subset of committed
+        # tables is invisible to resume.
         state_mode = "append" if self.state_layout == "delta" else "snapshot"
-        commits = [
-            ("lineage", lambda: self.io.commit(
-                "lineage", lineage, wave, mode="append")),
-            ("seen", lambda: self._commit_seen(seen_delta, wave + 1)),
-            ("frontier", lambda: self._commit_frontier(
-                frontier_out, wave + 1)),
-            ("host_state", lambda: self.io.commit(
-                "host_state", host_state_out, wave + 1, mode=state_mode)),
-        ]
+        plain_parts: list = [("lineage", lineage, "append", wave)]
+        commits: list = []
+        if self.seen_layout == "bucketed":
+            commits.append(
+                ("seen", lambda: self._commit_seen(seen_delta, wave + 1)))
+        else:
+            plain_parts.append(("seen", seen_delta, "append", wave + 1))
+        if self.state_layout == "delta" and self.seen_layout == "bucketed":
+            commits.append(("frontier", lambda: self._commit_frontier(
+                frontier_out, wave + 1)))
+        else:
+            plain_parts.append((
+                "frontier", frontier_out.select(*FRONTIER_COLS),
+                state_mode, wave + 1,
+            ))
+        plain_parts.append(
+            ("host_state", host_state_out, state_mode, wave + 1))
+        if cfg.merged_commits and len(plain_parts) > 1:
+            commits.append(("multi", lambda: self.io.commit_multi(
+                plain_parts, group_wave=wave)))
+        else:
+            for tbl, df_, mode_, w_ in plain_parts:
+                commits.append((
+                    tbl,
+                    lambda t=tbl, d=df_, m=mode_, w=w_:
+                        self.io.commit(t, d, w, mode=m),
+                ))
         if cfg.warc_dir:
             # WARC archive tee (op 4): part-files written as a side
             # effect of materializing the index rows → archive + index

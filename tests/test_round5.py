@@ -197,3 +197,130 @@ def test_requeue_replay_is_exactly_once(spark, tiny_corpus_dir, tmp_path):
     assert not any(staging.rglob("*.parquet"))
     sc.pages.unpersist()
     sc.robots_dim.unpersist()
+
+
+# --- VERDICT r4 item 4: merged end-of-wave state commits ---------------------
+
+def _emissions(eng):
+    return sorted(
+        (r["wave"], r["emit_rank"], r["url"], r["depth"], r["host"])
+        for r in eng.io.load("emission").collect()
+    )
+
+
+def test_merged_commits_twin(spark, tiny_corpus, tiny_corpus_dir,
+                             tmp_path_factory):
+    """merged_commits=True (the default — lineage/seen/frontier/
+    host_state written by ONE partitionBy("__table") job) is a
+    physical choice only: emission log, seen set, per-wave lineage
+    totals, table schemas and resume must be identical to the
+    per-table concurrent-commit layout (merged_commits=False)."""
+    from pyspark.sql import functions as F
+
+    from shaman_scraping_spark.corpus.simulator import simulate
+
+    base = CrawlConfig(seeds=tuple(tiny_corpus.seeds), max_waves=5,
+                       max_depth=16)
+    sim = simulate(tiny_corpus, base)
+    results = {}
+    for merged in (True, False):
+        cfg = CrawlConfig(**{**base.__dict__, "merged_commits": merged})
+        state = tmp_path_factory.mktemp(f"mcommit_{merged}")
+        eng = CrawlEngine(spark, cfg,
+                          str(tiny_corpus_dir / "pages.parquet"),
+                          str(state), record_emission=True)
+        eng.run()
+        results[merged] = {
+            "emissions": _emissions(eng),
+            "seen": {r["url_canon"]
+                     for r in eng.io.load("seen").collect()},
+            "lineage": sorted(
+                (r["wave"], r["urls"], r["bytes"])
+                for r in eng.io.load("lineage").groupBy("wave").agg(
+                    F.sum("urls_emitted").alias("urls"),
+                    F.sum("bytes_fetched").alias("bytes"),
+                ).collect()
+            ),
+            # schema-on-read must be the table's TRUE schema — the
+            # multi part-files' superset columns are projected away
+            "schemas": {
+                t: eng.io.load(t).columns
+                for t in ("seen", "frontier", "host_state", "lineage")
+            },
+        }
+        eng.close()
+    assert results[True] == results[False]
+    assert results[True]["emissions"] == sorted(sim.emissions)
+    assert results[True]["seen"] == sim.seen
+
+
+def test_merged_commits_resume(spark, tiny_corpus, tiny_corpus_dir,
+                               tmp_path_factory):
+    """Kill after wave 2 under merged commits, resume → identical
+    emission log to the one-shot run (manifest chains through the
+    _multi partition dirs survive a fresh engine)."""
+    from shaman_scraping_spark.corpus.simulator import simulate
+
+    full = CrawlConfig(seeds=tuple(tiny_corpus.seeds), max_waves=5,
+                       max_depth=16)
+    sim = simulate(tiny_corpus, full)
+    state = tmp_path_factory.mktemp("mcommit_resume")
+    short = CrawlConfig(**{**full.__dict__, "max_waves": 2})
+    e1 = CrawlEngine(spark, short, str(tiny_corpus_dir / "pages.parquet"),
+                     str(state), record_emission=True)
+    e1.run()
+    e1.close()
+    e2 = CrawlEngine(spark, full, str(tiny_corpus_dir / "pages.parquet"),
+                     str(state), record_emission=True)
+    e2.run(resume=True)
+    assert _emissions(e2) == sorted(sim.emissions)
+    e2.close()
+
+
+def test_commit_multi_unit(spark, tmp_path):
+    """TableIO.commit_multi mechanics: per-table manifests chain like
+    plain commits, empty parts fall back with exact schema, re-running
+    a wave is idempotent, load_delta resolves multi partition dirs,
+    and same-named columns with conflicting types are refused."""
+    import pytest as _pytest
+
+    from shaman_scraping_spark.io.tableio import TableIO
+
+    io = TableIO(spark, tmp_path / "t")
+    a0 = spark.createDataFrame([(1, "x")], "k long, v string")
+    b0 = spark.createDataFrame([(2.5, "h")], "score double, host string")
+    io.commit("a", a0, 0, mode="append")
+    io.commit("b", b0, 0, mode="append")
+    a1 = spark.createDataFrame([(3, "y"), (4, "z")], "k long, v string")
+    b1 = spark.createDataFrame([], "score double, host string")
+    io.commit_multi(
+        [("a", a1, "append", 1), ("b", b1, "append", 1)], group_wave=1
+    )
+    # a: chained append through the multi dir; true schema on read
+    got_a = io.load("a", 1)
+    assert got_a.columns == ["k", "v"]
+    assert {r["k"] for r in got_a.collect()} == {1, 3, 4}
+    assert io.row_count("a", 1) == 2
+    # b: empty delta fell back to a plain commit (schema preserved)
+    got_b = io.load("b", 1)
+    assert got_b.columns == ["score", "host"]
+    assert got_b.count() == 1
+    assert io.row_count("b", 1) == 0
+    # load_delta resolves the multi partition dir for wave 1
+    d = io.load_delta("a", 1)
+    assert sorted(r["k"] for r in d.collect()) == [3, 4]
+    assert d.columns == ["k", "v"]
+    # idempotent re-run of the same wave: same rows, no double-append
+    io.commit_multi(
+        [("a", a1, "append", 1), ("b", b1, "append", 1)], group_wave=1
+    )
+    assert io.load("a", 1).count() == 3
+    # snapshot mode through the multi sink
+    io.commit_multi([("a", a1, "snapshot", 2)], group_wave=2)
+    assert io.load("a", 2).count() == 2
+    # conflicting types for one column name refuse loudly
+    c = spark.createDataFrame([("1",)], "k string")
+    with _pytest.raises(ValueError, match="k"):
+        io.commit_multi(
+            [("a", a1, "append", 3), ("c", c, "append", 3)], group_wave=3
+        )

@@ -176,7 +176,7 @@ def child(args) -> None:
         waves = 1
     else:
         n_urls = urls.count()
-        stride = max(1, n_urls // SCALING_SEEDS)
+        stride = max(1, n_urls // args.seeds)
         seeds = [
             r["c"] for r in urls.filter(
                 F.pmod(F.xxhash64("c"), F.lit(stride)) == 0
@@ -193,13 +193,16 @@ def child(args) -> None:
 def run_child(cpus: int, pages: int, waves: int,
               determinism: bool = False, profile: bool = False,
               execs: int = 0, wide: bool = False,
-              tmpfs: bool = False, decomp: bool = False):
+              tmpfs: bool = False, decomp: bool = False,
+              seeds: int | None = None):
     """Spawn ONE fresh-JVM child: one measured crawl (or one
     determinism run).  Returns (run_result, det_result, profile)."""
     cmd = [
         sys.executable, __file__, "--child", "--cpus", str(cpus),
         "--pages", str(pages), "--waves", str(waves),
     ]
+    if seeds is not None:
+        cmd += ["--seeds", str(seeds)]
     if execs:
         cmd += ["--execs", str(execs)]
     if wide:
@@ -330,6 +333,106 @@ def executors_main(args) -> None:
     print(f"wrote {md}")
 
 
+def widths_main(args) -> None:
+    """VERDICT r4 item 2: measure the fixed-cost amortization claim.
+
+    The ≥0.8 efficiency gate was answered in rounds 3-4 by an
+    ARGUMENT — "the residual 8→32 inefficiency is per-wave fixed
+    seconds (driver scheduling, commits, plan analysis) that a real
+    10^7-row wave amortizes ~200×" — with no measurement behind the
+    amortization.  This mode converts it to data: the SAME protocol
+    as BASELINE.md (600k-page corpus, 6 waves, fresh JVM per run,
+    shuffle=64 both levels) run at several saturating seed WIDTHS, at
+    local[8] and local[32] each, reporting per-width
+
+      * measured mean wave width (URLs scheduled / waves — the honest
+        x-axis: link expansion and seen-filtering make it a corpus
+        property, not the seed count),
+      * throughput at both levels and efficiency tput(4N)/(4·tput(N)),
+      * per-wave fixed seconds from the profiled run (load +
+        plan-build + state-commits, summed / waves) — the terms the
+        amortization claim says are width-INVARIANT,
+
+    so the efficiency-vs-width curve and the fixed-cost-vs-width
+    table either show efficiency rising toward the gate as waves
+    widen (claim supported, floor extrapolated) or flat (claim dead).
+    → BENCH/WAVEWIDTH.md.
+    """
+    widths = [int(w) for w in args.widths.split(",")]
+    fixed_labels = ("load", "plan-build", "state-commits")
+    cells: dict = {}
+    for width in widths:
+        for cpus in (8, 32):
+            runs, prof = [], {}
+            for i in range(args.runs):
+                r, _, p = run_child(cpus, args.pages, args.waves,
+                                    profile=(i == args.runs - 1),
+                                    seeds=width)
+                runs.append(r)
+                if p:
+                    prof = p
+                print(f"width={width} local[{cpus}] run {i}: "
+                      f"{r['wall']:.1f}s ({r['urls']} urls)", flush=True)
+            cells[(width, cpus)] = {
+                "walls": [r["wall"] for r in runs],
+                "median": median([r["wall"] for r in runs]),
+                "urls": runs[0]["urls"],
+                "prof": prof,
+            }
+    lines = [
+        "# BENCH/WAVEWIDTH — efficiency vs wave width "
+        "(VERDICT r4 item 2)",
+        "",
+        "Same corpus and protocol as BASELINE.md (600k pages, 6 waves,",
+        f"fresh JVM per run, median of {args.runs}, shuffle=64 both",
+        "levels); only the saturating seed width varies.  \"fixed",
+        "s/wave\" = (load + plan-build + state-commits) / waves from",
+        "the profiled run — the per-wave driver-side terms the",
+        "amortization argument claims are width-invariant.",
+        "",
+        "| seeds | mean wave width | median wall 8c | median wall 32c "
+        "| tput 8c | tput 32c | efficiency | fixed s/wave 8c "
+        "| fixed s/wave 32c |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    effs = []
+    for width in widths:
+        c8, c32 = cells[(width, 8)], cells[(width, 32)]
+        t8 = c8["urls"] / c8["median"]
+        t32 = c32["urls"] / c32["median"]
+        eff = t32 / (4 * t8)
+        wavew = c32["urls"] / args.waves
+
+        def fixed(c):
+            return sum(c["prof"].get(x, 0.0) for x in fixed_labels) \
+                / args.waves
+
+        effs.append((width, wavew, eff, fixed(c8), fixed(c32)))
+        lines.append(
+            f"| {width} | {wavew:.0f} | {c8['median']:.1f} s "
+            f"| {c32['median']:.1f} s | {t8:.0f} urls/s "
+            f"| {t32:.0f} urls/s | **{eff:.3f}** "
+            f"| {fixed(c8):.1f} s | {fixed(c32):.1f} s |"
+        )
+    lines += [
+        "",
+        "Raw walls (s):",
+        "",
+        "```json",
+        json.dumps({f"w{width}_c{cpus}": cells[(width, cpus)]["walls"]
+                    for width in widths for cpus in (8, 32)}, indent=2),
+        "```",
+        "",
+    ]
+    md = Path(REPO, "BENCH", "WAVEWIDTH.md")
+    md.parent.mkdir(exist_ok=True)
+    md.write_text("\n".join(lines) + "\n")
+    print(f"wrote {md}")
+    for width, wavew, eff, f8, f32 in effs:
+        print(f"width {width}: wave {wavew:.0f}, eff {eff:.3f}, "
+              f"fixed/wave {f8:.1f}/{f32:.1f}s")
+
+
 def decompose_main(args) -> None:
     """VERDICT r3 item 1: decompose the parallelism-invariant
     fetched-commit stage.  For each (cores, sink) cell one profiled
@@ -418,6 +521,8 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=SCALING_PAGES)
     ap.add_argument("--waves", type=int, default=SCALING_WAVES)
     ap.add_argument("--runs", type=int, default=5)   # fresh JVM each
+    ap.add_argument("--seeds", type=int, default=SCALING_SEEDS)
+    ap.add_argument("--widths", type=str, default="5000,20000,80000")
     ap.add_argument("--determinism", action="store_true")
     ap.add_argument("--execs", type=int, default=0)
     ap.add_argument("--wide", action="store_true")
@@ -426,7 +531,8 @@ def main() -> None:
                     default="both")
     ap.add_argument("--seen-layout", dest="seen_layout",
                     choices=("dirs", "bucketed"), default="dirs")
-    ap.add_argument("--mode", choices=("threads", "executors", "decompose"),
+    ap.add_argument("--mode",
+                    choices=("threads", "executors", "decompose", "widths"),
                     default="threads")
     args = ap.parse_args()
     if args.child:
@@ -437,6 +543,9 @@ def main() -> None:
         return
     if args.mode == "decompose":
         decompose_main(args)
+        return
+    if args.mode == "widths":
+        widths_main(args)
         return
 
     report = {}
