@@ -63,14 +63,20 @@ def main() -> None:
     ap.add_argument("--rev-a", default=R3)
     ap.add_argument("--rev-b", default=R4)
     ap.add_argument("--out", default="AB_R3R4.md")
+    # within-pair run order: the box drifts slower over an epoch, so a
+    # fixed A-then-B order systematically penalizes B — "ba" reverses
+    # it; run half the pairs each way and combine for a balanced design
+    ap.add_argument("--order", choices=("ab", "ba"), default="ab")
     args = ap.parse_args()
 
     trees = {args.rev_a: ensure_worktree(args.rev_a),
              args.rev_b: ensure_worktree(args.rev_b)}
     results: dict[str, list[dict]] = {args.rev_a: [], args.rev_b: []}
     t_start = time.strftime("%Y-%m-%d %H:%M:%S")
+    order = (args.rev_a, args.rev_b) if args.order == "ab" \
+        else (args.rev_b, args.rev_a)
     for i in range(args.pairs):
-        for rev in (args.rev_a, args.rev_b):
+        for rev in order:
             r = run_bench(trees[rev])
             results[rev].append(r)
             print(f"pair {i} {rev}: suite {r['value']:.1f}s "
