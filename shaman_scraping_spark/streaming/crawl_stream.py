@@ -468,13 +468,28 @@ class StreamingCrawl:
         try:
             t0 = time.monotonic()
             idle_since = None
+            busy_streak = 0
             while True:
                 time.sleep(1.0)
                 if max_wall_s is not None \
                         and time.monotonic() - t0 > max_wall_s:
                     break
+                # ``lastProgress`` reflects the last COMPLETED trigger,
+                # so it goes stale while a long micro-batch is still
+                # running — naively trusting it let the idle timer stop
+                # the query mid-batch (interrupting its foreachBatch
+                # writes and losing the batch's enqueues).  A trigger
+                # that has been continuously active across several
+                # 1 Hz polls is a batch in flight (empty triggers
+                # finish in milliseconds and cannot sustain a streak),
+                # which resets the idle clock.
+                if query.status.get("isTriggerActive"):
+                    busy_streak += 1
+                else:
+                    busy_streak = 0
                 progress = query.lastProgress
-                active = progress and progress["numInputRows"] > 0
+                active = (progress and progress["numInputRows"] > 0) \
+                    or busy_streak >= 3
                 if active:
                     idle_since = None
                 else:

@@ -361,23 +361,42 @@ def widths_main(args) -> None:
     widths = [int(w) for w in args.widths.split(",")]
     fixed_labels = ("load", "plan-build", "state-commits")
     cells: dict = {}
+    pair_effs: dict[int, list[float]] = {}
     for width in widths:
-        for cpus in (8, 32):
-            runs, prof = [], {}
-            for i in range(args.runs):
+        # Interleaved, counterbalanced pairs: the box drifts within a
+        # session (same-code suites spread +51% in an hour — see
+        # BENCH/AB_R3R4.md), so an all-8c-then-all-32c order biases
+        # the quotient.  Each pair runs both levels back-to-back with
+        # alternating within-pair order; efficiency is computed PER
+        # PAIR and the median-of-pairs reported alongside arm medians.
+        per_cpu: dict[int, list] = {8: [], 32: []}
+        prof: dict[int, dict] = {8: {}, 32: {}}
+        pair_effs[width] = []
+        for i in range(args.runs):
+            order = (8, 32) if i % 2 == 0 else (32, 8)
+            pair = {}
+            for cpus in order:
                 r, _, p = run_child(cpus, args.pages, args.waves,
                                     profile=(i == args.runs - 1),
                                     seeds=width)
-                runs.append(r)
+                per_cpu[cpus].append(r)
+                pair[cpus] = r
                 if p:
-                    prof = p
-                print(f"width={width} local[{cpus}] run {i}: "
+                    prof[cpus] = p
+                print(f"width={width} pair {i} local[{cpus}]: "
                       f"{r['wall']:.1f}s ({r['urls']} urls)", flush=True)
+            eff = (pair[32]["urls"] / pair[32]["wall"]) / (
+                4 * pair[8]["urls"] / pair[8]["wall"])
+            pair_effs[width].append(eff)
+            print(f"width={width} pair {i} efficiency: {eff:.3f}",
+                  flush=True)
+        for cpus in (8, 32):
+            runs = per_cpu[cpus]
             cells[(width, cpus)] = {
                 "walls": [r["wall"] for r in runs],
                 "median": median([r["wall"] for r in runs]),
                 "urls": runs[0]["urls"],
-                "prof": prof,
+                "prof": prof[cpus],
             }
     lines = [
         "# BENCH/WAVEWIDTH — efficiency vs wave width "
@@ -391,7 +410,7 @@ def widths_main(args) -> None:
         "amortization argument claims are width-invariant.",
         "",
         "| seeds | mean wave width | median wall 8c | median wall 32c "
-        "| tput 8c | tput 32c | efficiency | fixed s/wave 8c "
+        "| tput 8c | tput 32c | eff (pairwise median) | fixed s/wave 8c "
         "| fixed s/wave 32c |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
@@ -400,7 +419,7 @@ def widths_main(args) -> None:
         c8, c32 = cells[(width, 8)], cells[(width, 32)]
         t8 = c8["urls"] / c8["median"]
         t32 = c32["urls"] / c32["median"]
-        eff = t32 / (4 * t8)
+        eff = median(pair_effs[width])
         wavew = c32["urls"] / args.waves
 
         def fixed(c):
@@ -416,15 +435,19 @@ def widths_main(args) -> None:
         )
     lines += [
         "",
-        "Raw walls (s):",
+        "Raw walls (s) and per-pair efficiencies:",
         "",
         "```json",
-        json.dumps({f"w{width}_c{cpus}": cells[(width, cpus)]["walls"]
-                    for width in widths for cpus in (8, 32)}, indent=2),
+        json.dumps({
+            **{f"w{width}_c{cpus}": cells[(width, cpus)]["walls"]
+               for width in widths for cpus in (8, 32)},
+            **{f"w{width}_pair_effs": [round(e, 3) for e in pair_effs[width]]
+               for width in widths},
+        }, indent=2),
         "```",
         "",
     ]
-    md = Path(REPO, "BENCH", "WAVEWIDTH.md")
+    md = Path(REPO, "BENCH", args.out)
     md.parent.mkdir(exist_ok=True)
     md.write_text("\n".join(lines) + "\n")
     print(f"wrote {md}")
@@ -523,6 +546,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=5)   # fresh JVM each
     ap.add_argument("--seeds", type=int, default=SCALING_SEEDS)
     ap.add_argument("--widths", type=str, default="5000,20000,80000")
+    ap.add_argument("--out", type=str, default="WAVEWIDTH.md",
+                    help="output file under BENCH/ for --mode widths")
     ap.add_argument("--determinism", action="store_true")
     ap.add_argument("--execs", type=int, default=0)
     ap.add_argument("--wide", action="store_true")
@@ -548,20 +573,40 @@ def main() -> None:
         widths_main(args)
         return
 
-    report = {}
-    for cpus in (8, 32):
-        # every run in its OWN JVM (VERDICT r2 #3): statistically
-        # identical runs, so the median needs no warm-up discard and a
-        # monotone-degradation leak is impossible by construction
-        runs = []
-        for i in range(args.runs):
+    # Interleaved, counterbalanced pairs (round-5 protocol hardening):
+    # every run still gets its OWN JVM (VERDICT r2 #3), but the two
+    # parallelism levels now alternate back-to-back with alternating
+    # within-pair order, because the box drifts within a session
+    # (same-code suites spread +51% in an hour, and a fixed
+    # all-N-then-all-4N order biased the r3-vs-r4 A/B by ±10% —
+    # BENCH/AB_R3R4.md).  Efficiency is additionally computed PER PAIR
+    # and the median-of-pairs reported; drift hits both members of a
+    # pair nearly equally, so the pairwise median is the robust number.
+    per_cpu: dict[int, list] = {8: [], 32: []}
+    profiles: dict[int, dict] = {8: {}, 32: {}}
+    pair_effs = []
+    for i in range(args.runs):
+        order = (8, 32) if i % 2 == 0 else (32, 8)
+        pair = {}
+        for cpus in order:
             r, _, profile = run_child(
                 cpus, args.pages, args.waves,
                 profile=(i == args.runs - 1),
             )
             r["run"] = i
-            runs.append(r)
-            print(f"local[{cpus}] run {i}: {r['wall']:.1f}s", flush=True)
+            per_cpu[cpus].append(r)
+            pair[cpus] = r
+            if profile:
+                profiles[cpus] = profile
+            print(f"pair {i} local[{cpus}]: {r['wall']:.1f}s", flush=True)
+        pe = (pair[32]["urls"] / pair[32]["wall"]) / (
+            4 * pair[8]["urls"] / pair[8]["wall"])
+        pair_effs.append(pe)
+        print(f"pair {i} efficiency: {pe:.3f}", flush=True)
+
+    report = {}
+    for cpus in (8, 32):
+        runs = per_cpu[cpus]
         _, det, _ = run_child(cpus, args.pages, args.waves,
                               determinism=True)
         walls = [r["wall"] for r in runs]
@@ -575,7 +620,7 @@ def main() -> None:
             "urls": urls,
             "urls_per_sec": urls / med_wall,
             "det_sha": det["emission_sha"] if det else None,
-            "profile": profile,
+            "profile": profiles[cpus],
         }
         print(f"local[{cpus}]: median {med_wall:.1f}s "
               f"(p10 {report[cpus]['p10_wall']:.1f} / "
@@ -583,7 +628,7 @@ def main() -> None:
               f"{urls / med_wall:.0f} urls/s", flush=True)
 
     t8, t32 = report[8]["urls_per_sec"], report[32]["urls_per_sec"]
-    eff = t32 / (4 * t8)
+    eff = median(pair_effs)
     det_equal = report[8]["det_sha"] == report[32]["det_sha"]
     print(f"scaling efficiency (32 vs 4x8): {eff:.3f}; "
           f"determinism equal: {det_equal}")
@@ -610,8 +655,13 @@ politeness on with crawl-delay 0, fetch_join="bucketed" (the 100 TB
 strategy), state_layout="delta" (the default), run at two local
 parallelism levels with EVERY RUN IN ITS OWN FRESH JVM (VERDICT r2 #3:
 shared-JVM hot runs degraded monotonically and inflated apparent
-efficiency); TRUE MEDIAN of {args.runs} statistically-identical runs
-reported with p10/p90 spread.
+efficiency); {args.runs} runs per level in INTERLEAVED,
+COUNTERBALANCED pairs (round-5 hardening: the box drifts within a
+session — same-code suites spread +51% in an hour, BENCH/AB_R3R4.md —
+so the two levels alternate back-to-back with alternating within-pair
+order, and the headline efficiency is the MEDIAN OF PER-PAIR
+efficiencies, which drift cannot bias); arm medians reported with
+p10/p90 spread.
 `spark.sql.shuffle.partitions` = 64 at BOTH levels (a data-size knob),
 AQE on, Arrow batch 10k (session defaults in
 `shaman_scraping_spark/session.py`).
@@ -623,8 +673,10 @@ AQE on, Arrow batch 10k (session defaults in
 | p10 / p90 wall | {report[8]['p10_wall']:.1f} / {report[8]['p90_wall']:.1f} s | {report[32]['p10_wall']:.1f} / {report[32]['p90_wall']:.1f} s |
 | throughput (median) | {t8:.0f} urls/s | {t32:.0f} urls/s |
 
-**Scaling efficiency** `tput(4N) / (4 × tput(N))` = **{eff:.3f}**
-(target ≥ 0.8 — see note).
+**Scaling efficiency** (median of per-pair `tput(4N) / (4 × tput(N))`,
+n={args.runs} pairs) = **{eff:.3f}**; arm-median quotient =
+{t32 / (4 * t8):.3f} (target ≥ 0.8 — see note and BENCH/MEMBW.md for
+the measured hardware ceiling of this one-box sandbox).
 
 **Determinism under parallelism**: the {DET_PAGES}-page, {DET_WAVES}-wave
 politeness-mixed crawl produces a byte-identical emission log
@@ -642,7 +694,7 @@ Per-wave stage breakdown (summed across waves of one profiled hot run;
 Raw runs (wall seconds; each run is a separate JVM — no shared state):
 
 ```json
-{json.dumps({f'local[{c}]': [round(r['wall'], 2) for r in report[c]['runs']] for c in report}, indent=2)}
+{json.dumps({**{f'local[{c}]': [round(r['wall'], 2) for r in report[c]['runs']] for c in report}, 'pair_efficiencies': [round(e, 3) for e in pair_effs]}, indent=2)}
 ```
 
 Caveat recorded for the judge: local[N] scales *threads in one JVM
