@@ -97,6 +97,40 @@ class CrawlConfig:
     # precomputed at init, so per-wave resolution is ONE equi-join.
     # 0 → no in-wave hops (r1 behavior).
     max_redirect_hops: int = 3
+    # --- op 52: retry with exponential backoff (spec pinned here; the
+    # oracle simulator mirrors it).  Real servers fail transiently;
+    # the reference's scraper retries failed requests with backoff.
+    # The sandbox corpus has no live server, so transient failures are
+    # SIMULATED deterministically: a url_canon is "flaky" iff
+    # ``pmod(xxhash64(url_canon), 1000) < flaky_permille`` (Spark
+    # xxhash64 seed 42; the pure-Python twin in functions/hashing.py
+    # makes the simulator bit-identical), and a flaky URL answers 503
+    # on fetch attempts 0..flaky_fail_attempts-1, succeeding after.
+    # Retry semantics (both layouts):
+    #   * a 503 fetch consumes quota/budget like any request, is
+    #     recorded in `fetched` (status 503, no text/links — link
+    #     discovery happens only on the eventual success), and is NOT
+    #     re-marked seen;
+    #   * the URL re-enters the frontier at wave
+    #     ``w + 2**(attempt-1)`` (attempt = retries done, 1-based
+    #     after the first failure): +1, +2, +4 ... — exponential
+    #     backoff on the wave clock, deterministic, no wall time;
+    #   * retry rows carry ``discovery_ts = t0 + due_wave*
+    #     wave_seconds`` and ``wave_discovered = due_wave`` so their
+    #     emission priority ties break exactly like links discovered
+    #     into that wave;
+    #   * a retry starved by quota re-enqueues at the next wave with
+    #     the SAME attempt count (waiting costs no attempt);
+    #   * after ``max_retries`` failed retries the URL dead-letters
+    #     into the `dead` table (url, host, depth, attempt, wave) and
+    #     is never fetched again;
+    #   * retries that would come due past max_waves are simply never
+    #     scheduled (documented truncation, same as frontier rows).
+    # flaky_permille=0 (default) disables the whole path: no 503
+    # branch in the plan, no retries/dead tables, no extra actions.
+    flaky_permille: int = 0
+    flaky_fail_attempts: int = 2
+    max_retries: int = 3
     shuffle_partitions: int | None = None
     host_salt: int = 42                    # salt for host-hash partitioning
     # approximate seen-set prefilter before the exact anti-join

@@ -36,6 +36,7 @@ class SimResult:
     quota_log: list = field(default_factory=list)  # (host, wave, quota, emitted)
     wave_totals: list = field(default_factory=list)  # (wave, urls, bytes)
     fetched: list = field(default_factory=list)    # (url_canon, wave, status)
+    dead: list = field(default_factory=list)  # (url, host, depth, attempt, wave)
     waves_run: int = 0
 
 
@@ -111,6 +112,18 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
         if prev is None or cand < prev:
             frontier[c] = cand
 
+    # op 52 twin: deterministic transient failures + retry/backoff
+    # (config.py spec).  flaky uses the XXH64 twin on the UTF-8 bytes
+    # of url_canon — bit-identical to the engine's
+    # pmod(xxhash64(url_canon), 1000) (signed semantics: the twin
+    # returns Spark's signed long; Python's % is pmod)
+    retry_on = cfg.flaky_permille > 0
+
+    def flaky(c: str) -> bool:
+        return retry_on and xxh64(c.encode()) % 1000 < cfg.flaky_permille
+
+    pending: dict[str, tuple] = {}  # url -> (depth, attempt, due_wave)
+
     # host -> dict(rules, delay, tokens, budget_used)
     host_state: dict[str, dict] = {}
     # transient robots lookups (hop targets probe robots WITHOUT
@@ -184,7 +197,7 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
             collect_sitemaps(h)
 
     for wave in range(cfg.max_waves):
-        if not frontier:
+        if not frontier and not pending:
             res.waves_run = wave
             return res
         # 1. refill — closed form, one saturating step over the whole
@@ -211,37 +224,55 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
             quotas[h] = q
 
         # 2. robots gate
-        eligible: list[tuple] = []   # (depth, wave_disc, parent_key, url, host)
+        # tuples: (depth, wave_disc, parent_key, url, host, attempt)
+        eligible: list[tuple] = []
         for c, (depth, wdisc, pkey) in frontier.items():
             h = _host_of(c)
             st = host_state[h]
             if robots_allowed(url_path_of(c), st["rules"]):
-                eligible.append((depth, wdisc, pkey, c, h))
+                eligible.append((depth, wdisc, pkey, c, h, 0))
             else:
                 res.seen.add(c)   # dropped permanently
+        # op 52: retries due this wave re-enter after the seen filter
+        # (they are seen) and before top-k — engine twin of the
+        # _load_due_retries union.  wdisc = due wave, parent = None.
+        if pending:
+            for c in sorted([u for u, p in pending.items()
+                             if p[2] == wave]):
+                depth, att, _due = pending.pop(c)
+                h = _host_of(c)
+                ensure_host(h, wave)
+                if robots_allowed(url_path_of(c),
+                                  host_state[h]["rules"]):
+                    eligible.append(
+                        (depth, wave, _parent_key(None), c, h, att)
+                    )
         # 3. per-host top-k by (depth, discovery_ts≡wave_disc, url_canon)
         per_host: dict[str, list] = {}
-        for depth, wdisc, pkey, c, h in eligible:
-            per_host.setdefault(h, []).append((depth, wdisc, c))
-        scheduled: list[tuple] = []   # (depth, wdisc, url, host)
+        for depth, wdisc, pkey, c, h, att in eligible:
+            per_host.setdefault(h, []).append((depth, wdisc, c, att))
+        scheduled: list[tuple] = []   # (depth, wdisc, url, host, attempt)
         remaining: dict[str, tuple] = {}
         for h in sorted(per_host):
             rows = sorted(per_host[h])  # (depth, wave_disc, url) lexicographic
             q = quotas[h]
-            for i, (depth, wdisc, c) in enumerate(rows):
+            for i, (depth, wdisc, c, att) in enumerate(rows):
                 if i < q:
-                    scheduled.append((depth, wdisc, c, h))
+                    scheduled.append((depth, wdisc, c, h, att))
+                elif att > 0:
+                    # quota-starved retry: wait a wave, same attempt
+                    pending[c] = (depth, att, wave + 1)
                 else:
                     remaining[c] = frontier[c]
 
         # 4. emission log, global order (depth, discovery_ts, url_canon)
         scheduled.sort()
-        for rank, (depth, wdisc, c, h) in enumerate(scheduled, start=1):
+        for rank, (depth, wdisc, c, h, att) in enumerate(scheduled, start=1):
             res.emissions.append((wave, rank, c, depth, h))
 
         # quota log
         emitted_by_host: dict[str, int] = {}
-        for _, _, c, h in scheduled:
+        for _, _, c, h, _att in scheduled:
             emitted_by_host[h] = emitted_by_host.get(h, 0) + 1
         for h in sorted(quotas):
             res.quota_log.append(
@@ -255,7 +286,7 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
         wave_bytes = 0
         fetch_count = 0
         discoveries: dict[str, tuple] = {}
-        scheduled_set = {c for _, _, c, _ in scheduled}
+        scheduled_set = {c for _, _, c, _, _ in scheduled}
         hop_cand: dict[str, tuple] = {}   # target -> (depth, parent) min
 
         def discover(lc: str, depth: int, parent: str) -> None:
@@ -307,12 +338,24 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
                     break  # blocked target is never fetched → no edge out
                 cur, d = lc, d + 1
 
-        for depth, wdisc, c, h in scheduled:
+        for depth, wdisc, c, h, att in scheduled:
             res.seen.add(c)
             fetch_count += 1
             entry = by_canon.get(c)
             if entry is None:
                 res.fetched.append((c, wave, 404))
+                continue
+            if flaky(c) and att < cfg.flaky_fail_attempts:
+                # op 52: transient 503 — no body, no Location, no
+                # links; quota was spent.  Re-enter at the backoff
+                # wave or dead-letter (engine twin of the failed→
+                # retries/dead split in run_wave)
+                res.fetched.append((c, wave, 503))
+                na = att + 1
+                if na <= cfg.max_retries:
+                    pending[c] = (depth, na, wave + (1 << (na - 1)))
+                else:
+                    res.dead.append((c, h, depth, na, wave))
                 continue
             _ts, _url, html, _text, _lang = entry
             wave_bytes += len(html) if html is not None else 0
@@ -347,6 +390,16 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
             entry = by_canon.get(lc)
             if entry is None:
                 res.fetched.append((lc, wave, 404))
+                continue
+            if flaky(lc) and 0 < cfg.flaky_fail_attempts:
+                # hop target's own flaky draw (attempt 0; the static
+                # closure is not pruned by an intermediate's 503 —
+                # config.py op-52 spec; engine: hop_keys attempt 0)
+                res.fetched.append((lc, wave, 503))
+                if 1 <= cfg.max_retries:
+                    pending[lc] = (d1, 1, wave + 1)
+                else:
+                    res.dead.append((lc, _host_of(lc), d1, 1, wave))
                 continue
             _ts, _url, html, _text, _lang = entry
             wave_bytes += len(html) if html is not None else 0

@@ -176,6 +176,88 @@ def q_token_refill(spark, sf):
     )
 
 
+def q_backoff_schedule(spark, sf):
+    """Op 52 analogue: error-driven exponential backoff.
+
+    Crawl semantics: a host whose most recent fetches all errored gets
+    its politeness delay doubled per consecutive trailing error, capped
+    at 2^6 — classic exponential backoff (the engine's wave-level twin
+    retries 503s with the same doubling rule).  Here ≙ per ``user_id``
+    (host analogue): count 'error' events AFTER the user's last
+    non-error event (trailing-error run, ordered by the unique
+    ``event_id``) → ``backoff_s = 2^min(run, 6)``.  Users whose latest
+    event succeeded carry no backoff and are omitted.  Pure Catalyst:
+    one map-side-combined agg + one shuffle join on user_id — no
+    window over the full history, so it scales to 10^10 fetch-log rows
+    partitioned by host."""
+    ev = _t(spark, sf, "events")
+    last_ok = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("last_ok_id"))
+    )
+    return (
+        ev.join(last_ok, "user_id", "left")
+        .filter(
+            (F.col("event_type") == "error")
+            & (
+                F.col("last_ok_id").isNull()
+                | (F.col("event_id") > F.col("last_ok_id"))
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_trailing_errors"),
+            F.max("event_id").alias("last_err_id"),
+        )
+        .withColumn(
+            "backoff_s",
+            F.pow(
+                F.lit(2.0),
+                F.least(F.col("n_trailing_errors"), F.lit(6)).cast("double"),
+            ),
+        )
+    )
+
+
+def q_recrawl_schedule(spark, sf):
+    """Op 53 analogue: change-frequency recrawl scheduling.
+
+    Crawl semantics: a continuous crawler re-visits a page at its
+    observed change cadence — estimate per-page mean inter-snapshot
+    interval from ``warc_ts`` history and schedule the next fetch one
+    mean interval after the last.  Here ≙ per ``user_id``: mean
+    interarrival of events in exact integer MICROSECONDS (lag window
+    ordered by (ts, event_id)), ``next_due_us = floor(last + mean)``.
+    Integer-µs arithmetic keeps Spark and the DuckDB oracle
+    bit-identical (timestamp→double roundtrips would not be).  One
+    window + one agg, both partitioned by the schedule key — at scale
+    this is the same salted-host partitioning as the frontier."""
+    ev = _t(spark, sf, "events").withColumn(
+        # parquet reads ts as TIMESTAMP_NTZ; the session TZ is pinned
+        # UTC (session.py), so the cast is an exact reinterpretation
+        # and unix_micros ≡ DuckDB's epoch_us on the naive value
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+        .filter(F.col("avg_gap_us").isNotNull())
+        .withColumn(
+            "next_due_us",
+            F.floor(
+                F.col("last_ts_us").cast("double") + F.col("avg_gap_us")
+            ).cast("long"),
+        )
+    )
+
+
 def q_redirect_hops(spark, sf):
     """Op 20: bounded self-join ≙ consecutive order pairs per customer."""
     o1 = _t(spark, sf, "orders").select(
@@ -402,6 +484,8 @@ QUERIES = {
     "priority_rank": q_priority_rank,
     "frontier_merge": q_frontier_merge,
     "token_refill": q_token_refill,
+    "backoff_schedule": q_backoff_schedule,
+    "recrawl_schedule": q_recrawl_schedule,
     "redirect_hops": q_redirect_hops,
     "lineage_agg": q_lineage_agg,
     "stats_cube": q_stats_cube,
@@ -484,6 +568,40 @@ ORACLES = {
                CAST(floor(least(100.0, CAST(count(*) AS DOUBLE) * 2.5))
                     AS BIGINT) AS quota
         FROM events GROUP BY user_id
+    """,
+    "backoff_schedule": """
+        WITH last_ok AS (
+          SELECT user_id, max(event_id) AS last_ok_id
+          FROM events WHERE event_type <> 'error' GROUP BY user_id
+        )
+        SELECT e.user_id,
+               CAST(count(*) AS BIGINT) AS n_trailing_errors,
+               CAST(max(e.event_id) AS BIGINT) AS last_err_id,
+               CAST(pow(2.0, least(count(*), 6)) AS DOUBLE) AS backoff_s
+        FROM events e LEFT JOIN last_ok l USING (user_id)
+        WHERE e.event_type = 'error'
+          AND (l.last_ok_id IS NULL OR e.event_id > l.last_ok_id)
+        GROUP BY e.user_id
+    """,
+    "recrawl_schedule": """
+        WITH gaps AS (
+          SELECT user_id,
+                 epoch_us(ts) AS ts_us,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap_us
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(avg(gap_us) AS DOUBLE), 4) AS avg_gap_us,
+               CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+               CAST(floor(CAST(max(ts_us) AS DOUBLE)
+                          + round(CAST(avg(gap_us) AS DOUBLE), 4))
+                    AS BIGINT) AS next_due_us
+        FROM gaps
+        GROUP BY user_id
+        HAVING avg(gap_us) IS NOT NULL
     """,
     "redirect_hops": """
         SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_hops

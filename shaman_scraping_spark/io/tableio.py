@@ -297,6 +297,14 @@ class TableIO:
             "wave": wave,
             "mode": mode,
             "data_dirs": dirs,
+            # the table's TRUE column list: an append chain can mix
+            # plain dirs with commit_multi superset dirs, and parquet
+            # schema inference over such a mix can leak a foreign
+            # group column (e.g. partition_id into seen) when the
+            # NEWEST manifest came from a plain commit — recording
+            # columns on EVERY manifest makes load()'s projection
+            # unconditional
+            "columns": list(df.columns),
             # rows written AT this wave (the delta for append tables,
             # the whole snapshot otherwise) — read driver-side from the
             # parquet footers, so callers never need a Spark count()

@@ -231,6 +231,8 @@ class CrawlEngine:
         if config.seen_layout not in ("dirs", "bucketed"):
             raise ValueError(f"unknown seen_layout: {config.seen_layout}")
         self.seen_layout = config.seen_layout
+        # op 52: deterministic retry/backoff (spec in config.py)
+        self.retry_enabled = config.flaky_permille > 0
         # a state dir is laid out for exactly one layout pair — resuming
         # it under another would misread frontier/host_state manifests
         # (state_layout) or silently drop / crash on the seen chain
@@ -255,6 +257,18 @@ class CrawlEngine:
                     f"state dir was written with seen_layout={got_seen!r}; "
                     f"config asks for {self.seen_layout!r} — clear the "
                     "state dir or match the existing layout"
+                )
+            # op 52: toggling retries mid-state would change the
+            # fetched schema (attempt column) and orphan pending
+            # retry rows — refuse, like the layout guards above
+            got_retry = meta.get("retry_enabled")
+            if got_retry is not None and got_retry != \
+                    (config.flaky_permille > 0):
+                raise ValueError(
+                    f"state dir was written with retry_enabled="
+                    f"{got_retry!r}; config asks for "
+                    f"{config.flaky_permille > 0!r} — clear the state "
+                    "dir or match the existing setting"
                 )
         # Corpus strategy (measured, see BENCH/BASELINE.md notes):
         # the fat html column is NEVER cached and NEVER shuffled —
@@ -666,17 +680,59 @@ class CrawlEngine:
         return self.state_dir / "wave-complete.json"
 
     def _mark_complete(self, wave: int,
-                       frontier_empty: bool | None = None) -> None:
+                       frontier_empty: bool | None = None,
+                       retry_due: dict | None = None) -> None:
         """*frontier_empty* (delta layout): whether the NEXT wave's
         frontier is empty, recorded here because the delta layout has
         no per-wave frontier snapshot whose manifest row count could
-        answer it for free."""
+        answer it for free.  *retry_due* (op 52): exact pending-retry
+        ledger {due_wave(str): count}, maintained at every commit so
+        emptiness/termination decisions stay action-free."""
         obj: dict = {"wave": wave}
         if frontier_empty is not None:
             obj["frontier_empty"] = bool(frontier_empty)
+        if retry_due is not None:
+            obj["retry_due"] = retry_due
         tmp = self._marker_path().with_suffix(".tmp")
         tmp.write_text(json.dumps(obj))
         os.rename(tmp, self._marker_path())
+
+    def _forwarded_retry_due(self, wave: int) -> dict | None:
+        """The previous marker's retry ledger minus entries consumed
+        at or before *wave* (None when retries are off)."""
+        if not self.retry_enabled:
+            return None
+        rd = (self._marker_info() or {}).get("retry_due") or {}
+        return {k: v for k, v in rd.items() if int(k) > wave}
+
+    def _load_due_retries(self, wave: int):
+        """FRONTIER_COLS + attempt for retry rows due at *wave* (op
+        52), or None before any retry commit.  discovery_ts /
+        wave_discovered are reconstructed from the wave clock so a
+        retry's emission priority ties break exactly like links
+        discovered into this wave (config.py spec)."""
+        # newest retries manifest STRICTLY before this wave (retry
+        # rows for wave w are committed by earlier source waves; empty
+        # waves commit no retries manifest, so an exact-wave read
+        # would miss the chain)
+        m = self.io._newest_manifest_before("retries", wave)
+        if m is None:
+            return None
+        df = self.io.load("retries", m["wave"])
+        if df is None:
+            return None
+        cfg = self.config
+        ts = cfg.t0 + timedelta(seconds=wave * cfg.wave_seconds)
+        return (
+            df.filter(F.col("due_wave") == F.lit(wave))
+            .select(
+                "url_canon", "url_hash", "host", "depth",
+                F.lit(ts).alias("discovery_ts"),
+                F.lit(None).cast("string").alias("parent_canon"),
+                F.lit(wave).cast("int").alias("wave_discovered"),
+                "attempt",
+            )
+        )
 
     def _marker_info(self) -> dict | None:
         p = self._marker_path()
@@ -750,7 +806,8 @@ class CrawlEngine:
         TableIO._atomic_write_json(
             self.state_dir / "_engine.json",
             {"state_layout": self.state_layout,
-             "seen_layout": self.seen_layout},
+             "seen_layout": self.seen_layout,
+             "retry_enabled": self.retry_enabled},
         )
         # no wave executed yet; wave-0 inputs ready.  The seed delta is
         # the whole frontier, so its manifest count answers emptiness
@@ -783,6 +840,19 @@ class CrawlEngine:
         seen = self.io.load("seen", wave)
         host_state = self._load_host_state(wave)
         frontier = self._load_frontier(wave, seen)
+        if self.retry_enabled:
+            # op 52: retry rows re-enter HERE — after the seen
+            # anti-join (they are seen by construction; the normal
+            # reconstruction would drop them) and before the robots
+            # gate / per-host top-k, so a retry competes for quota
+            # like any frontier row.  `attempt` rides along as an
+            # extra in-memory column; every state commit selects
+            # FRONTIER_COLS and never persists it except in the
+            # retries/fetched tables, where it is the point.
+            frontier = frontier.withColumn("attempt", F.lit(0))
+            due = self._load_due_retries(wave)
+            if due is not None:
+                frontier = frontier.unionByName(due)
         wave_persists = []
         if self.state_layout == "delta":
             # the reconstructed frontier/host_state are PLANS (union +
@@ -812,6 +882,13 @@ class CrawlEngine:
             empty = n_frontier == 0 or (
                 n_frontier is None and frontier.isEmpty()
             )
+        if self.retry_enabled and empty:
+            # retries due THIS wave make the frontier non-empty even
+            # when no additions landed; the marker's retry_due ledger
+            # (exact per-due-wave counts, maintained at every commit)
+            # answers it without an action
+            rd = (self._marker_info() or {}).get("retry_due") or {}
+            empty = rd.get(str(wave), 0) == 0
         _t("load")
         if empty:
             self._commit_empty(wave, seen, host_state)
@@ -872,7 +949,16 @@ class CrawlEngine:
         )
         ranked = per_host_topk(eligible, "quota").persist()
         scheduled = ranked.filter(F.col("scheduled"))
-        remaining = ranked.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
+        remaining = ranked.filter(~F.col("scheduled"))
+        starved_retries = None
+        if self.retry_enabled:
+            # a quota-starved retry waits in the retries table (same
+            # attempt, due next wave) — it is seen, so neither the
+            # delta reconstruction nor the snapshot frontier may carry
+            # it (the snapshot path would double-deliver it)
+            starved_retries = remaining.filter(F.col("attempt") > 0)
+            remaining = remaining.filter(F.col("attempt") == 0)
+        remaining = remaining.select(*FRONTIER_COLS)
 
         # 4. fetch + content processing, ONE pass over the wave's html,
         # materialized directly by the fetched-table commit (the
@@ -888,8 +974,19 @@ class CrawlEngine:
             F.col("lang").alias("page_lang"),
         )
         fetch_ts = cfg.t0 + timedelta(seconds=wave * cfg.wave_seconds)
-        sched_keys = scheduled.select("url_canon", "url_hash", "host",
-                                      "depth")
+        sched_keys = scheduled.select(
+            "url_canon", "url_hash", "host", "depth",
+            *(["attempt"] if self.retry_enabled else []),
+        )
+        flaky_now = None
+        if self.retry_enabled:
+            # deterministic transient failure (config.py op-52 spec):
+            # pure function of (url_canon, attempt) — Catalyst-only,
+            # mirrored bit-identically by the simulator's XXH64 twin
+            flaky_now = (
+                F.pmod(F.xxhash64(F.col("url_canon")), F.lit(1000))
+                < F.lit(cfg.flaky_permille)
+            ) & (F.col("attempt") < F.lit(cfg.flaky_fail_attempts))
         # in-wave redirect-hop resolution (op 20, spec in config.py):
         # chains resolve against the precomputed redirect map as ≤3
         # bounded joins folded into the ONE fetch join below — no extra
@@ -905,8 +1002,13 @@ class CrawlEngine:
             # size is constant in the hop cap — the per-level variant
             # nested each level's subtree into the next and drowned the
             # driver in Catalyst analysis.
+            hop_src = sched_keys
+            if flaky_now is not None:
+                # a 503 this wave returns no Location header — its
+                # chain resolves on the eventual successful attempt
+                hop_src = sched_keys.filter(~flaky_now)
             hop_cand = (
-                sched_keys.alias("c")
+                hop_src.alias("c")
                 .join(self.redirect_closure.alias("m"),
                       F.col("c.url_canon") == F.col("m.src_canon"))
                 .select(
@@ -932,9 +1034,15 @@ class CrawlEngine:
                                      SEEN_KEY, "left_anti")
             hop_ok = hop_cand.filter(F.col("allowed"))
             hop_blocked = hop_cand.filter(~F.col("allowed"))
-            fetch_keys = fetch_keys.unionByName(
-                hop_ok.select("url_canon", "url_hash", "host", "depth")
-            ).persist()
+            hop_keys = hop_ok.select("url_canon", "url_hash", "host",
+                                     "depth")
+            if self.retry_enabled:
+                # hop targets are first fetches (attempt 0) and take
+                # the same flaky draw as any fetch: a flaky hop target
+                # 503s, is seen, and enters the retry loop as a normal
+                # frontier row — the simulator mirrors this rule
+                hop_keys = hop_keys.withColumn("attempt", F.lit(0))
+            fetch_keys = fetch_keys.unionByName(hop_keys).persist()
             hop_seen_frames.append(hop_ok.select(*SEEN_KEY))
             hop_seen_frames.append(hop_blocked.select(*SEEN_KEY))
         if cfg.corpus_buckets:
@@ -993,9 +1101,21 @@ class CrawlEngine:
             .withColumn("redirect_to", F.col("proc.redirect_to"))
             .withColumn(
                 "status",
-                F.when(F.col("html").isNull(), F.lit(404))
-                .when(F.col("redirect_to").isNotNull(), F.lit(302))
-                .otherwise(F.lit(200)),
+                # op 52 (when enabled): a flaky URL 503s on its early
+                # attempts — the branch sits before the redirect test
+                # (a real server fails before it answers Location) and
+                # is OMITTED entirely when retries are off, keeping
+                # the default plan unchanged.
+                (
+                    F.when(F.col("html").isNull(), F.lit(404))
+                    .when(flaky_now, F.lit(503))
+                    .when(F.col("redirect_to").isNotNull(), F.lit(302))
+                    .otherwise(F.lit(200))
+                ) if flaky_now is not None else (
+                    F.when(F.col("html").isNull(), F.lit(404))
+                    .when(F.col("redirect_to").isNotNull(), F.lit(302))
+                    .otherwise(F.lit(200))
+                ),
             )
             .withColumn("text", F.when(F.col("status") == 200,
                                        F.col("proc.text")))
@@ -1005,6 +1125,24 @@ class CrawlEngine:
                 .otherwise(F.array().cast("array<string>")),
             )
             .drop("proc")
+        )
+        if flaky_now is not None:
+            # a 503 answers no body and no Location: null both so the
+            # archive, n_bytes and link paths see exactly what a real
+            # failed request would have produced
+            enriched = enriched.withColumn(
+                "redirect_to",
+                F.when(F.col("status") == 503,
+                       F.lit(None).cast("string"))
+                .otherwise(F.col("redirect_to")),
+            ).withColumn(
+                "html",
+                F.when(F.col("status") == 503,
+                       F.lit(None).cast("binary"))
+                .otherwise(F.col("html")),
+            )
+        enriched = (
+            enriched
             .withColumn("n_bytes",
                         F.coalesce(F.length("html"), F.lit(0)))
             .withColumn("wave", F.lit(wave))
@@ -1079,7 +1217,13 @@ class CrawlEngine:
         # construction.  The seen table is append-mode: each wave
         # persists only its delta (WARC-index pattern), never rewrites
         # the accumulated set.
-        seen_delta = scheduled.select(*SEEN_KEY).unionByName(
+        sched_first = scheduled
+        if self.retry_enabled:
+            # retry rows are already members — re-appending them would
+            # duplicate seen rows (harmless for the anti-join, wrong
+            # for the set and wasteful at 10^10 rows)
+            sched_first = scheduled.filter(F.col("attempt") == 0)
+        seen_delta = sched_first.select(*SEEN_KEY).unionByName(
             blocked.select(*SEEN_KEY)
         )
         for hf in hop_seen_frames:
@@ -1233,8 +1377,60 @@ class CrawlEngine:
         # commit returns, and per-table manifests chain from waves
         # strictly before this one, so any partial subset of committed
         # tables is invisible to resume.
+        retry_due_next: dict | None = None
+        if self.retry_enabled:
+            # op 52: 503s advance their attempt counter; within budget
+            # they re-enter at wave + 2^(attempt-1) (exponential wave-
+            # clock backoff), past it they dead-letter.  Quota-starved
+            # retries wait one wave at the same attempt.
+            failed = fdf.filter(F.col("status") == 503).select(
+                "url_canon", "url_hash", "host", "depth", "attempt"
+            )
+            nxt = failed.withColumn("attempt", F.col("attempt") + 1)
+            retry_all = (
+                nxt.filter(F.col("attempt") <= F.lit(cfg.max_retries))
+                .withColumn(
+                    "due_wave",
+                    (
+                        F.lit(wave)
+                        + F.pow(
+                            F.lit(2.0),
+                            (F.col("attempt") - 1).cast("double"),
+                        )
+                    ).cast("int"),
+                )
+            )
+            dead = (
+                nxt.filter(F.col("attempt") > F.lit(cfg.max_retries))
+                .withColumn("wave", F.lit(wave))
+                .select("url_canon", "host", "depth", "attempt", "wave")
+            )
+            if starved_retries is not None:
+                retry_all = retry_all.unionByName(
+                    starved_retries.select(
+                        "url_canon", "url_hash", "host", "depth",
+                        "attempt",
+                    ).withColumn(
+                        "due_wave", F.lit(wave + 1).cast("int")
+                    )
+                )
+            retry_all = retry_all.persist()
+            wave_persists.append(retry_all)
+            # exact pending ledger for the wave marker: the collect is
+            # bounded by the number of DISTINCT due waves (≤
+            # max_retries + 1), never by data volume
+            retry_due_next = self._forwarded_retry_due(wave) or {}
+            for r in retry_all.groupBy("due_wave").agg(
+                F.count("*").alias("n")
+            ).collect():
+                k = str(r["due_wave"])
+                retry_due_next[k] = retry_due_next.get(k, 0) + r["n"]
+            _t("retry-ledger")
         state_mode = "append" if self.state_layout == "delta" else "snapshot"
         plain_parts: list = [("lineage", lineage, "append", wave)]
+        if self.retry_enabled:
+            plain_parts.append(("retries", retry_all, "append", wave))
+            plain_parts.append(("dead", dead, "append", wave))
         commits: list = []
         if self.seen_layout == "bucketed":
             commits.append(
@@ -1338,7 +1534,8 @@ class CrawlEngine:
             # already-persisted `ranked` — no recompute, no shuffle)
             n_added = self.io.row_count("frontier", wave + 1) or 0
             frontier_empty = n_added == 0 and remaining.isEmpty()
-            self._mark_complete(wave, frontier_empty=frontier_empty)
+            self._mark_complete(wave, frontier_empty=frontier_empty,
+                                retry_due=retry_due_next)
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
                 seen_now = self.io.load("seen", wave + 1)
                 self.io.compact(
@@ -1351,7 +1548,7 @@ class CrawlEngine:
                 self.io.compact("seen")
                 _t("compact")
         else:
-            self._mark_complete(wave)
+            self._mark_complete(wave, retry_due=retry_due_next)
         ranked.unpersist()
         for df in wave_persists:
             df.unpersist()
@@ -1413,7 +1610,8 @@ class CrawlEngine:
             )
             self.io.commit("host_state", host_state.limit(0), wave + 1,
                            mode="append")
-            self._mark_complete(wave, frontier_empty=True)
+            self._mark_complete(wave, frontier_empty=True,
+                                retry_due=self._forwarded_retry_due(wave))
         else:
             self.io.commit(
                 "frontier",
@@ -1421,7 +1619,8 @@ class CrawlEngine:
                 wave + 1,
             )
             self.io.commit("host_state", host_state, wave + 1)
-            self._mark_complete(wave)
+            self._mark_complete(wave,
+                                retry_due=self._forwarded_retry_due(wave))
 
     # --- full run / resume --------------------------------------------------
 
@@ -1440,6 +1639,10 @@ class CrawlEngine:
             n = self.run_wave(w)
             waves_run += 1
             if n == 0:
+                # op 52: pending retries keep the crawl alive through
+                # frontier-empty waves until their due wave arrives
+                if self._forwarded_retry_due(w):
+                    continue
                 if self.state_layout == "delta":
                     mi = self._marker_info() or {}
                     fe = mi.get("frontier_empty")
