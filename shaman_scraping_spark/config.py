@@ -128,9 +128,48 @@ class CrawlConfig:
     #     scheduled (documented truncation, same as frontier rows).
     # flaky_permille=0 (default) disables the whole path: no 503
     # branch in the plan, no retries/dead tables, no extra actions.
+    # BATCH-ONLY: StreamingCrawl ignores these knobs (its micro-batch
+    # clock has no wave numbers to schedule backoff against) — the
+    # streaming analogue would re-enqueue failures through requeue's
+    # event-time re-stamp, unimplemented by design, not omission.
     flaky_permille: int = 0
     flaky_fail_attempts: int = 2
     max_retries: int = 3
+    # --- op 54: crawl-trap guard / URL pattern mining (spec pinned
+    # here; the oracle simulator mirrors it).  Calendar pages,
+    # session-id links and faceted-search grids generate unbounded URL
+    # families differing only in numbers; real crawlers cap such
+    # families (Heritrix path-repetition rules, Nutch regex filters).
+    # Semantics:
+    #   * template(url) = path+query of url_canon with every ASCII
+    #     digit run collapsed to '#' (functions/url.url_template,
+    #     pure Catalyst; Python twin url_template_of) —
+    #     /p/17?id=17 and /p/90210?id=90210 share /p/#?id=#;
+    #   * after wave w commits, that wave's FIRST-ATTEMPT fetches
+    #     (every fetch when retries are off; attempt-0 rows when on —
+    #     each URL counts exactly once, whatever its status: a 404 or
+    #     503 burned budget too) append per-wave (host, template, n)
+    #     counts to the trap_counts table — delta rows are bounded by
+    #     distinct templates per wave, never URL volume;
+    #   * at a later wave's gate, frontier rows at attempt 0 whose
+    #     (host, template) has accumulated count >= trap_threshold
+    #     are TRAPPED: dropped permanently and marked seen (exactly
+    #     like robots-blocked rows), before the robots gate runs;
+    #   * retries (attempt > 0) bypass the gate — their URL already
+    #     spent its first fetch; in-wave redirect hop targets also
+    #     bypass it (they never sit in the frontier) but their
+    #     fetches COUNT toward the template;
+    #   * wave-0 seeds precede any count and are never trapped;
+    #   * counts are cumulative over the whole crawl (the trap dim is
+    #     a groupBy-sum over the append table — rows bounded by
+    #     waves x templates — filtered to >= threshold, then
+    #     broadcast: the frontier never shuffles for the gate).
+    # trap_threshold=0 (default) disables the operator entirely.
+    # BATCH-ONLY for now: StreamingCrawl ignores this knob (the gate
+    # would sit in enqueue(), counting from previously committed
+    # micro-batches) — documented so batch/stream behavior never
+    # silently diverges.
+    trap_threshold: int = 0
     shuffle_partitions: int | None = None
     host_salt: int = 42                    # salt for host-hash partitioning
     # approximate seen-set prefilter before the exact anti-join

@@ -23,7 +23,9 @@ from dataclasses import dataclass, field
 from shaman_scraping_spark.config import UNLIMITED_QUOTA, CrawlConfig
 from shaman_scraping_spark.corpus.generator import Corpus
 from shaman_scraping_spark.functions.html import process_html
-from shaman_scraping_spark.functions.url import canonicalize_url_py
+from shaman_scraping_spark.functions.url import (
+    canonicalize_url_py, url_template_of,
+)
 from shaman_scraping_spark.operators.politeness import (
     parse_robots, robots_allowed, url_path_of,
 )
@@ -124,6 +126,19 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
 
     pending: dict[str, tuple] = {}  # url -> (depth, attempt, due_wave)
 
+    # op 54 twin: crawl-trap guard (config.py spec).  tcounts
+    # accumulates first-attempt fetch counts per (host, template);
+    # the trap set is snapshotted at each wave's gate from the counts
+    # of strictly earlier waves — exactly the engine's
+    # newest-manifest-before read of the trap_counts table.
+    trap_on = cfg.trap_threshold > 0
+    tcounts: dict[tuple, int] = {}
+
+    def count_fetch(c: str, h: str) -> None:
+        if trap_on:
+            k = (h, url_template_of(c))
+            tcounts[k] = tcounts.get(k, 0) + 1
+
     # host -> dict(rules, delay, tokens, budget_used)
     host_state: dict[str, dict] = {}
     # transient robots lookups (hop targets probe robots WITHOUT
@@ -223,11 +238,18 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
                 q = min(q, max(0, cfg.max_pages_per_host - st["budget"]))
             quotas[h] = q
 
-        # 2. robots gate
+        # 2. trap gate (op 54, strictly-before counts) → robots gate
+        traps = (
+            {k for k, v in tcounts.items() if v >= cfg.trap_threshold}
+            if trap_on else ()
+        )
         # tuples: (depth, wave_disc, parent_key, url, host, attempt)
         eligible: list[tuple] = []
         for c, (depth, wdisc, pkey) in frontier.items():
             h = _host_of(c)
+            if trap_on and (h, url_template_of(c)) in traps:
+                res.seen.add(c)   # trapped — dropped permanently
+                continue
             st = host_state[h]
             if robots_allowed(url_path_of(c), st["rules"]):
                 eligible.append((depth, wdisc, pkey, c, h, 0))
@@ -341,6 +363,10 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
         for depth, wdisc, c, h, att in scheduled:
             res.seen.add(c)
             fetch_count += 1
+            if att == 0:
+                # op 54: first attempts count toward the template,
+                # whatever the status (engine: fdf attempt-0 rows)
+                count_fetch(c, h)
             entry = by_canon.get(c)
             if entry is None:
                 res.fetched.append((c, wave, 404))
@@ -387,6 +413,9 @@ def simulate(corpus: Corpus, config: CrawlConfig) -> SimResult:
             fetched_this_wave.add(lc)
             res.seen.add(lc)
             fetch_count += 1
+            # op 54: hop fetches are first attempts and count toward
+            # the template (they bypass only the frontier gate)
+            count_fetch(lc, _host_of(lc))
             entry = by_canon.get(lc)
             if entry is None:
                 res.fetched.append((lc, wave, 404))

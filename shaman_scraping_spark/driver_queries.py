@@ -258,6 +258,37 @@ def q_recrawl_schedule(spark, sf):
     )
 
 
+def q_trap_patterns(spark, sf):
+    """Op 54 analogue: URL-pattern mining for crawl-trap detection.
+
+    Crawl semantics: collapse every digit run in the URL path to
+    ``#`` and flag (host, template) families whose member count
+    reaches the trap threshold — calendar/session-id/faceted-search
+    explosions all collapse to one hot template.  Here ≙ per
+    ``source`` (host analogue): template = ``lang`` + the
+    digit-collapsed ``n_chars`` — rows that differ only in the number
+    collapse to one ``lang/#`` template; families with ≥ 10 docs are
+    "traps".  Pure Catalyst: regexp_replace + one map-side-combined
+    count — the detection dim stays bounded by distinct templates,
+    never corpus rows, which is what makes the guard broadcastable
+    at 10^10-URL scale."""
+    d = _t(spark, sf, "documents")
+    template = F.regexp_replace(
+        F.concat_ws(
+            "/", F.col("lang"), F.col("n_chars").cast("string")
+        ),
+        "[0-9]+",
+        "#",
+    )
+    return (
+        d.select(F.col("source").alias("host"),
+                 template.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
 def q_redirect_hops(spark, sf):
     """Op 20: bounded self-join ≙ consecutive order pairs per customer."""
     o1 = _t(spark, sf, "orders").select(
@@ -486,6 +517,7 @@ QUERIES = {
     "token_refill": q_token_refill,
     "backoff_schedule": q_backoff_schedule,
     "recrawl_schedule": q_recrawl_schedule,
+    "trap_patterns": q_trap_patterns,
     "redirect_hops": q_redirect_hops,
     "lineage_agg": q_lineage_agg,
     "stats_cube": q_stats_cube,
@@ -602,6 +634,16 @@ ORACLES = {
         FROM gaps
         GROUP BY user_id
         HAVING avg(gap_us) IS NOT NULL
+    """,
+    "trap_patterns": """
+        SELECT source AS host,
+               regexp_replace(
+                 concat_ws('/', lang, CAST(n_chars AS VARCHAR)),
+                 '[0-9]+', '#', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY 1, 2
+        HAVING count(*) >= 10
     """,
     "redirect_hops": """
         SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_hops

@@ -148,6 +148,37 @@ def url_hash(url_canon: Column) -> Column:
     return F.xxhash64(url_canon)
 
 
+def url_template(url_canon: Column) -> Column:
+    """URL-pattern template of a canonical URL (op 54, spec in
+    config.py): path+query with every ASCII digit run collapsed to
+    ``#`` — ``/p/17?id=17`` and ``/p/90210?id=90210`` share
+    ``/p/#?id=#``.  Pure Catalyst (whole-stage codegen); the Python
+    twin is :func:`url_template_of`.
+
+    Path extraction = everything from the first ``/`` after the first
+    ``://`` (identical to the politeness path expression: canonical
+    URLs always have a path, and a ``://`` inside the query must not
+    re-anchor the scan)."""
+    # rest of the URL after "scheme://" (1-based substr; len(scheme)+4
+    # = first char after the 3-char separator)
+    rest = url_canon.substr(
+        F.length(F.split_part(url_canon, F.lit("://"), F.lit(1)))
+        + F.lit(4),
+        F.length(url_canon),
+    )
+    path = rest.substr(F.instr(rest, "/"), F.length(rest))
+    return F.regexp_replace(path, "[0-9]+", "#")
+
+
+def url_template_of(url_canon: str) -> str:
+    """Python twin of :func:`url_template` — byte-identical on
+    canonical URLs (property-tested)."""
+    rest = url_canon.split("://", 1)[1]
+    slash = rest.find("/")
+    path = rest[slash:] if slash >= 0 else "/"
+    return re.sub(r"[0-9]+", "#", path)
+
+
 def with_url_columns(df, url_col: str = "url"):
     """Stamp (url_canon, url_hash, host) onto *df* and drop non-web rows.
 

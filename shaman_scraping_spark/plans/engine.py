@@ -52,7 +52,7 @@ from pyspark.sql.types import (
 
 from shaman_scraping_spark.config import UNLIMITED_QUOTA, CrawlConfig
 from shaman_scraping_spark.functions.html import make_process_html_udf
-from shaman_scraping_spark.functions.url import with_url_columns
+from shaman_scraping_spark.functions.url import url_template, with_url_columns
 from shaman_scraping_spark.io.tableio import TableIO
 from shaman_scraping_spark.operators.frontier import (
     FRONTIER_COLS, SEEN_KEY, anti_join_seen, dedup_urls,
@@ -233,6 +233,8 @@ class CrawlEngine:
         self.seen_layout = config.seen_layout
         # op 52: deterministic retry/backoff (spec in config.py)
         self.retry_enabled = config.flaky_permille > 0
+        # op 54: crawl-trap guard (spec in config.py)
+        self.trap_enabled = config.trap_threshold > 0
         # a state dir is laid out for exactly one layout pair — resuming
         # it under another would misread frontier/host_state manifests
         # (state_layout) or silently drop / crash on the seen chain
@@ -269,6 +271,18 @@ class CrawlEngine:
                     f"{got_retry!r}; config asks for "
                     f"{config.flaky_permille > 0!r} — clear the state "
                     "dir or match the existing setting"
+                )
+            # op 54: toggling (or re-thresholding) the trap guard
+            # mid-state would change which URLs the remaining waves
+            # may fetch — the resumed run would diverge from both an
+            # uninterrupted run at either setting
+            got_trap = meta.get("trap_threshold")
+            if got_trap is not None and got_trap != config.trap_threshold:
+                raise ValueError(
+                    f"state dir was written with trap_threshold="
+                    f"{got_trap!r}; config asks for "
+                    f"{config.trap_threshold!r} — clear the state dir "
+                    "or match the existing setting"
                 )
         # Corpus strategy (measured, see BENCH/BASELINE.md notes):
         # the fat html column is NEVER cached and NEVER shuffled —
@@ -734,6 +748,28 @@ class CrawlEngine:
             )
         )
 
+    def _load_trap_dim(self, wave: int):
+        """(host, template) pairs whose accumulated first-attempt
+        fetch count reached trap_threshold strictly before *wave*
+        (op 54), or None before any count commit.
+
+        The groupBy-sum runs over per-wave (host, template, n) delta
+        rows — bounded by waves × distinct templates, never URL
+        volume — and the filtered result is broadcast into the gate,
+        so the frontier itself never shuffles for trap detection."""
+        m = self.io._newest_manifest_before("trap_counts", wave)
+        if m is None:
+            return None
+        df = self.io.load("trap_counts", m["wave"])
+        if df is None:
+            return None
+        return (
+            df.groupBy("host", "template")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") >= F.lit(self.config.trap_threshold))
+            .select("host", "template")
+        )
+
     def _marker_info(self) -> dict | None:
         p = self._marker_path()
         if not p.exists():
@@ -807,7 +843,8 @@ class CrawlEngine:
             self.state_dir / "_engine.json",
             {"state_layout": self.state_layout,
              "seen_layout": self.seen_layout,
-             "retry_enabled": self.retry_enabled},
+             "retry_enabled": self.retry_enabled,
+             "trap_threshold": self.config.trap_threshold},
         )
         # no wave executed yet; wave-0 inputs ready.  The seed delta is
         # the whole frontier, so its manifest count answers emptiness
@@ -854,6 +891,38 @@ class CrawlEngine:
             if due is not None:
                 frontier = frontier.unionByName(due)
         wave_persists = []
+        trapped_seen = None
+        if self.trap_enabled:
+            # op 54: the trap gate runs BEFORE the robots gate (a
+            # trapped row must not pay the robots UDF).  Trapped rows
+            # are dropped permanently and marked seen, exactly like
+            # robots-blocked rows; retries (attempt > 0) bypass —
+            # their URL already spent its first fetch.  The marked
+            # frame is persisted so the frontier reconstruction under
+            # it executes once, not once per derived branch.
+            trap_dim = self._load_trap_dim(wave)
+            if trap_dim is not None:
+                marked = frontier.withColumn(
+                    "__tpl", url_template(F.col("url_canon"))
+                ).join(
+                    F.broadcast(
+                        trap_dim.withColumnRenamed("template", "__tpl")
+                        .withColumn("__trap", F.lit(True))
+                    ),
+                    ["host", "__tpl"],
+                    "left",
+                ).persist()
+                wave_persists.append(marked)
+                bypass = (
+                    (F.col("attempt") > 0) if self.retry_enabled
+                    else F.lit(False)
+                )
+                is_trapped = (
+                    F.coalesce(F.col("__trap"), F.lit(False)) & ~bypass
+                )
+                trapped_seen = marked.filter(is_trapped).select(*SEEN_KEY)
+                frontier = marked.filter(~is_trapped).drop(
+                    "__tpl", "__trap")
         if self.state_layout == "delta":
             # the reconstructed frontier/host_state are PLANS (union +
             # anti-join + window), not parquet scans like the snapshot
@@ -994,6 +1063,11 @@ class CrawlEngine:
         # + robots; blocked targets are marked seen like frontier rows.
         fetch_keys = sched_keys
         hop_seen_frames = []   # keys to fold into seen_delta
+        if trapped_seen is not None:
+            # op 54: trapped rows join the seen delta through the same
+            # fold (and trigger the same persist + remaining anti-join
+            # hygiene below; remaining ∩ trapped = ∅ by construction)
+            hop_seen_frames.append(trapped_seen)
         if self.redirect_closure is not None:
             # ONE equi-join against the precomputed ≤k-hop closure
             # (already canonicalized, scope-filtered, robots-stamped),
@@ -1431,6 +1505,24 @@ class CrawlEngine:
         if self.retry_enabled:
             plain_parts.append(("retries", retry_all, "append", wave))
             plain_parts.append(("dead", dead, "append", wave))
+        if self.trap_enabled:
+            # op 54: this wave's first-attempt fetches roll into the
+            # per-wave (host, template, n) count delta — fdf is a
+            # read-back of the already-committed fetched parquet, so
+            # this is a cheap scan + map-side-combined agg, and the
+            # delta's row count is bounded by distinct templates
+            tc = fdf
+            if self.retry_enabled:
+                tc = tc.filter(F.col("attempt") == 0)
+            trap_delta = (
+                tc.select(
+                    "host",
+                    url_template(F.col("url_canon")).alias("template"),
+                )
+                .groupBy("host", "template")
+                .agg(F.count("*").alias("n"))
+            )
+            plain_parts.append(("trap_counts", trap_delta, "append", wave))
         commits: list = []
         if self.seen_layout == "bucketed":
             commits.append(
