@@ -101,6 +101,17 @@ def build_parser() -> argparse.ArgumentParser:
     p_gen.add_argument("--hosts", type=int, default=50)
     p_gen.add_argument("--seed", type=int, default=42)
 
+    p_rank = sub.add_parser(
+        "rank", help="host PageRank over the crawl's own fetched link graph"
+    )
+    p_rank.add_argument("--state", required=True)
+    p_rank.add_argument("--output", default=None,
+                        help="optional parquet path for the (host, rank) dim")
+    p_rank.add_argument("--iterations", type=int, default=10)
+    p_rank.add_argument("--damping", type=float, default=0.85)
+    p_rank.add_argument("--top", type=int, default=20)
+    p_rank.add_argument("--master", default=None)
+
     p_clean = sub.add_parser(
         "clean", help="training-data cleaning pipeline over a parquet corpus"
     )
@@ -152,6 +163,24 @@ def main(argv: list[str] | None = None) -> int:
         cleaned.write.mode("overwrite").parquet(args.output)
         stats["output_rows"] = spark.read.parquet(args.output).count()
         print(json.dumps(stats, sort_keys=True))
+        return 0
+
+    if args.cmd == "rank":
+        from pyspark.sql import functions as F
+
+        from shaman_scraping_spark.io.tableio import TableIO
+        from shaman_scraping_spark.operators.graph import host_rank
+
+        fetched = TableIO(spark, args.state).load("fetched")
+        if fetched is None:
+            print("rank: no fetched table in state dir", file=sys.stderr)
+            return 1
+        ranks = host_rank(
+            fetched, damping=args.damping, iterations=args.iterations
+        ).withColumnRenamed("node", "host")
+        if args.output:
+            ranks.write.mode("overwrite").parquet(args.output)
+        ranks.orderBy(F.desc("rank")).limit(args.top).show(truncate=False)
         return 0
 
     if args.cmd == "stats":

@@ -305,6 +305,25 @@ def q_redirect_hops(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    """Op 55: integer PageRank (``operators/graph.pagerank_int_units``,
+    the bit-deterministic twin of the float operator) over a synthetic
+    3-out-regular graph derived from documents: doc i links to
+    (31·i + g) mod N for g ∈ {0,1,2}.  All arithmetic in BIGINT units,
+    so sums are order-independent and the result hash-compares against
+    the unrolled-CTE DuckDB oracle."""
+    from shaman_scraping_spark.operators.graph import pagerank_int_units
+
+    docs = _t(spark, sf, "documents").select(F.col("doc_id").alias("node"))
+    n = docs.count()  # bounded: one scalar for the modulus
+    g = spark.range(3).select(F.col("id").alias("g"))
+    edges = docs.crossJoin(g).select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 31 + F.col("g")) % n).alias("dst"),
+    )
+    return pagerank_int_units(docs, edges, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # §2E — aggregations / metrics
 # ---------------------------------------------------------------------------
@@ -518,6 +537,7 @@ QUERIES = {
     "backoff_schedule": q_backoff_schedule,
     "recrawl_schedule": q_recrawl_schedule,
     "trap_patterns": q_trap_patterns,
+    "pagerank": q_pagerank,
     "redirect_hops": q_redirect_hops,
     "lineage_agg": q_lineage_agg,
     "stats_cube": q_stats_cube,
@@ -644,6 +664,53 @@ ORACLES = {
         FROM documents
         GROUP BY 1, 2
         HAVING count(*) >= 10
+    """,
+    "pagerank": """
+        WITH nodes AS (SELECT doc_id AS node FROM documents),
+        n AS (SELECT count(*) AS c FROM nodes),
+        e AS (
+          SELECT node AS src, (node * 31 + g.g) % (SELECT c FROM n) AS dst
+          FROM nodes, (VALUES (0), (1), (2)) AS g(g)
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+        c1 AS (
+          SELECT e.dst AS node, SUM(r0.r // o.od) AS s
+          FROM e JOIN outdeg o ON e.src = o.src
+                 JOIN r0 ON e.src = r0.node
+          GROUP BY e.dst
+        ),
+        r1 AS (
+          SELECT nodes.node,
+                 CAST(150000000000 + (17 * COALESCE(c1.s, 0)) // 20
+                      AS BIGINT) AS r
+          FROM nodes LEFT JOIN c1 USING (node)
+        ),
+        c2 AS (
+          SELECT e.dst AS node, SUM(r1.r // o.od) AS s
+          FROM e JOIN outdeg o ON e.src = o.src
+                 JOIN r1 ON e.src = r1.node
+          GROUP BY e.dst
+        ),
+        r2 AS (
+          SELECT nodes.node,
+                 CAST(150000000000 + (17 * COALESCE(c2.s, 0)) // 20
+                      AS BIGINT) AS r
+          FROM nodes LEFT JOIN c2 USING (node)
+        ),
+        c3 AS (
+          SELECT e.dst AS node, SUM(r2.r // o.od) AS s
+          FROM e JOIN outdeg o ON e.src = o.src
+                 JOIN r2 ON e.src = r2.node
+          GROUP BY e.dst
+        ),
+        r3 AS (
+          SELECT nodes.node,
+                 CAST(150000000000 + (17 * COALESCE(c3.s, 0)) // 20
+                      AS BIGINT) AS r
+          FROM nodes LEFT JOIN c3 USING (node)
+        )
+        SELECT node, r AS rank_units FROM r3
     """,
     "redirect_hops": """
         SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_hops
