@@ -125,6 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_clean.add_argument("--min-tokens", type=int, default=0)
     p_clean.add_argument("--boilerplate-min-docs", type=int, default=None)
     p_clean.add_argument("--boilerplate-top", type=int, default=20)
+    p_clean.add_argument("--dup-line-min-docs", type=int, default=None,
+                         help="strip whole lines duplicated across >= N "
+                              "docs (CCNet-style line dedup)")
     p_clean.add_argument("--master", default=None)
     return ap
 
@@ -159,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             boilerplate_min_docs=args.boilerplate_min_docs,
             boilerplate_top=args.boilerplate_top,
             min_tokens=args.min_tokens,
+            dup_line_min_docs=args.dup_line_min_docs,
         )
         cleaned.write.mode("overwrite").parquet(args.output)
         stats["output_rows"] = spark.read.parquet(args.output).count()

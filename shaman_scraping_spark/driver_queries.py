@@ -305,6 +305,69 @@ def q_redirect_hops(spark, sf):
     )
 
 
+def _word_chunks(text_col: str = "text", k: int = 2):
+    """Consecutive k-word chunks of *text_col*, split on single spaces —
+    the 'line' proxy for the word-soup documents table (it has no
+    newlines), chunked identically to the DuckDB oracles' list slicing."""
+    w = F.split(F.col(text_col), " ")
+    nch = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+    )
+    return F.when(F.size(w) > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_dup_lines(spark, sf):
+    """Op 56 (`operators/dedup.dup_lines` shape): cross-document
+    duplicated lines — explode → DISTINCT (line, doc) → count, both
+    shuffles map-side combined.  Lines ≙ 2-word chunks here (the
+    synthetic corpus has no newlines); the real operator splits \\n."""
+    pairs = (
+        _t_wide(spark, sf, "documents")
+        .select("doc_id", F.explode(_word_chunks()).alias("line"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_repetition_filter(spark, sf):
+    """Op 57 (`functions/text.dup_line_frac` / `top_word_count`
+    shapes): Gopher-style per-document repetition stats — duplicate-
+    line fraction plus the most-frequent-token count."""
+    docs = _t_wide(spark, sf, "documents")
+    lines = docs.select("doc_id", F.explode(_word_chunks()).alias("line"))
+    per_line = (
+        lines.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("line").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_lines"), 6
+            ),
+        )
+    )
+    top = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_n"))
+    )
+    return per_line.join(top, "doc_id")
+
+
 def q_pagerank(spark, sf):
     """Op 55: integer PageRank (``operators/graph.pagerank_int_units``,
     the bit-deterministic twin of the float operator) over a synthetic
@@ -538,6 +601,8 @@ QUERIES = {
     "recrawl_schedule": q_recrawl_schedule,
     "trap_patterns": q_trap_patterns,
     "pagerank": q_pagerank,
+    "dup_lines": q_dup_lines,
+    "repetition_filter": q_repetition_filter,
     "redirect_hops": q_redirect_hops,
     "lineage_agg": q_lineage_agg,
     "stats_cube": q_stats_cube,
@@ -711,6 +776,61 @@ ORACLES = {
           FROM nodes LEFT JOIN c3 USING (node)
         )
         SELECT node, r AS rank_units FROM r3
+    """,
+    "dup_lines": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w,
+                 CAST(unnest(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)))
+                      AS BIGINT) AS i
+          FROM toks
+        ),
+        chunks AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(w[(i * 2 + 1):(i * 2 + 2)], ' ') AS line
+          FROM idx
+        )
+        SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+        FROM chunks GROUP BY line HAVING count(*) >= 2
+    """,
+    "repetition_filter": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w,
+                 CAST(unnest(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)))
+                      AS BIGINT) AS i
+          FROM toks
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 array_to_string(w[(i * 2 + 1):(i * 2 + 2)], ' ') AS line
+          FROM idx
+        ),
+        per_line AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(count(DISTINCT line) AS BIGINT) AS n_distinct,
+                 round(1.0 - count(DISTINCT line) / count(*), 6)
+                     AS dup_line_frac
+          FROM chunks GROUP BY doc_id
+        ),
+        wcc AS (
+          SELECT doc_id, word, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY doc_id, word
+        ),
+        top AS (
+          SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+          FROM wcc GROUP BY doc_id
+        )
+        SELECT per_line.doc_id, n_lines, n_distinct, dup_line_frac,
+               top_word_n
+        FROM per_line JOIN top USING (doc_id)
     """,
     "redirect_hops": """
         SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_hops

@@ -89,3 +89,50 @@ def doc_fingerprint(
     sh = shingles_col(text_col, k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def dup_line_frac(text_col: str = "text") -> Column:
+    """Within-document repetition (Gopher-style quality rule): the
+    fraction of non-blank lines that are repeats of an earlier line.
+    Pure Catalyst (split → filter → array_distinct), per-row — no
+    shuffle, no UDF; 0.0 for docs with no non-blank lines."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return F.when(
+        n > 0, F.lit(1.0) - nd.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_word_count(text_col: str = "text") -> Column:
+    """Occurrences of the document's most frequent token, computed
+    per-row inside Catalyst: sort the token array, then a single
+    ``aggregate`` pass tracks the longest equal-run — the mode count
+    without any explode/shuffle (Gopher's top-n-gram-fraction family
+    needs exactly this shape)."""
+    # named_struct accumulator: (cur run, max run, previous token)
+    return F.expr(
+        f"""
+        aggregate(
+          array_sort(split(trim({text_col}), '\\\\s+')),
+          named_struct('cur', 0, 'mx', 0,
+                       'prev', cast(null as string)),
+          (a, x) -> named_struct(
+            'cur', IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1),
+            'mx', greatest(
+              a.mx, IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1, 1)),
+            'prev', x),
+          a -> a.mx)
+        """
+    )
+
+
+def top_word_frac(text_col: str = "text") -> Column:
+    """Share of tokens taken by the most frequent token — the
+    degenerate-repetition signal (``aaa aaa aaa`` scores 1.0)."""
+    n = token_count(text_col)
+    return F.when(
+        n > 0, top_word_count(text_col).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -78,6 +78,71 @@ def boilerplate_shingles(
     )
 
 
+def dup_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated LINES — the line-level dedup dimension
+    of a training-data pipeline (CCNet-style: headers, cookie banners
+    and nav text repeat verbatim as whole lines across pages and should
+    be removed before training).
+
+    Output: (line, n_docs) for non-blank ``\\n``-separated lines present
+    in ≥ *min_docs* DISTINCT documents.  Same two-stage scale shape as
+    ``boilerplate_shingles``: explode → DISTINCT (line, doc) → count,
+    both shuffles map-side combined, so a line repeated 10^6 times in
+    one partition collapses locally before it ships.
+    """
+    pairs = (
+        df.select(F.col(id_col).alias("__doc"),
+                  F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .filter(F.trim(F.col("line")) != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_dup_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_docs: int = 2, dup: DataFrame | None = None,
+) -> DataFrame:
+    """Remove corpus-duplicated lines from every document, preserving
+    the order of the remaining lines.
+
+    *dup* is the (line, …) dimension from ``dup_lines`` (built from
+    *df* when omitted).  Scale shape: the dim scales with DISTINCT
+    duplicated lines, so it is NOT broadcast — the removal is a
+    hash-partitioned left-anti equi-join on the line string; documents
+    reassemble via a per-doc sort (collect_list is doc-bounded, never
+    corpus-bounded).  Blank lines are never treated as duplicates.
+    """
+    if dup is None:
+        dup = dup_lines(df, id_col, text_col, min_docs)
+    parts = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "line"),
+    )
+    kept = parts.join(dup.select("line"), "line", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__new_text")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__id"), "left")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__id", "__new_text")
+    )
+
+
 # --- exact ------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, dup_cols: list[str], id_col: str) -> DataFrame:

@@ -12,6 +12,9 @@ Stages (each a documented operator from the training-data suite):
    cluster every member except its minimum appears as some pair's
    ``id_b``, so exactly the cluster minima survive — no connected-
    components pass needed for the drop set).
+2b. **line-level dedup** (opt-in, ``dup_line_min_docs``) — whole lines
+   duplicated across ≥ N documents are stripped from every text
+   (CCNet-style; `operators/dedup.py dup_lines/strip_dup_lines`).
 3. **boilerplate strip** — the top-*boilerplate_top* k-gram shingles
    shared by ≥ *boilerplate_min_docs* documents (`boilerplate_shingles`)
    are removed from every text (whole-word literal replace, then
@@ -35,7 +38,8 @@ from pyspark.sql import functions as F
 
 from shaman_scraping_spark.functions.text import lang_id, quality_features
 from shaman_scraping_spark.operators.dedup import (
-    boilerplate_shingles, exact_dedup, minhash_neardup_pairs,
+    boilerplate_shingles, dup_lines, exact_dedup, minhash_neardup_pairs,
+    strip_dup_lines,
 )
 
 
@@ -65,6 +69,7 @@ def clean_corpus(
     boilerplate_min_docs: int | None = None,
     boilerplate_top: int = 20,
     min_tokens: int = 0,
+    dup_line_min_docs: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the 4-stage cleaning chain; returns (cleaned_df, stats).
 
@@ -92,6 +97,21 @@ def clean_corpus(
     n_neardup = survivors2.count()
     survivors.unpersist()
 
+    # 2b. line-level dedup (CCNet-style): strip lines duplicated across
+    # >= dup_line_min_docs documents (opt-in — the corpus must actually
+    # have \n lines for this to bite).  The dim row count is bounded
+    # metadata; the removal join itself never touches the driver.
+    n_dup_lines = 0
+    if dup_line_min_docs is not None:
+        dim = dup_lines(
+            survivors2, id_col, text_col, min_docs=dup_line_min_docs
+        ).persist()
+        n_dup_lines = dim.count()
+        survivors2 = strip_dup_lines(
+            survivors2, id_col, text_col, dup=dim
+        ).persist()
+        survivors2.count()
+
     # 3. boilerplate shingles over the deduped corpus (bounded top-k)
     min_docs = boilerplate_min_docs or max(5, n_neardup // 100)
     bp = [
@@ -116,5 +136,6 @@ def clean_corpus(
         "after_neardup": n_neardup,
         "boilerplate_shingles": bp,
         "min_docs_for_boilerplate": min_docs,
+        "dup_lines_stripped": n_dup_lines,
     }
     return cleaned, stats
