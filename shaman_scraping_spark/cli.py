@@ -128,6 +128,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_clean.add_argument("--dup-line-min-docs", type=int, default=None,
                          help="strip whole lines duplicated across >= N "
                               "docs (CCNet-style line dedup)")
+    p_clean.add_argument("--redact-pii", action="store_true",
+                         help="redact emails/phones/IPv4s and stamp "
+                              "per-row match counts")
     p_clean.add_argument("--master", default=None)
     return ap
 
@@ -163,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             boilerplate_top=args.boilerplate_top,
             min_tokens=args.min_tokens,
             dup_line_min_docs=args.dup_line_min_docs,
+            redact=args.redact_pii,
         )
         cleaned.write.mode("overwrite").parquet(args.output)
         stats["output_rows"] = spark.read.parquet(args.output).count()

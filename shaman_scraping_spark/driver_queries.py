@@ -368,6 +368,21 @@ def q_repetition_filter(spark, sf):
     return per_line.join(top, "doc_id")
 
 
+def q_pii_redact(spark, sf):
+    """Op 58 (`functions/text.pii_counts` / `redact_pii` machinery):
+    regex scan-count + global redaction, exercised on events.props with
+    a digit-run pattern whose semantics are identical in Java and RE2
+    regex dialects (the PII patterns themselves are applied over text
+    corpora by the clean pipeline — tests/test_pii.py)."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.size(
+            F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0))
+        ).cast("int").alias("n_digit_runs"),
+        F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("redacted"),
+    )
+
+
 def q_pagerank(spark, sf):
     """Op 55: integer PageRank (``operators/graph.pagerank_int_units``,
     the bit-deterministic twin of the float operator) over a synthetic
@@ -603,6 +618,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "dup_lines": q_dup_lines,
     "repetition_filter": q_repetition_filter,
+    "pii_redact": q_pii_redact,
     "redirect_hops": q_redirect_hops,
     "lineage_agg": q_lineage_agg,
     "stats_cube": q_stats_cube,
@@ -831,6 +847,13 @@ ORACLES = {
         SELECT per_line.doc_id, n_lines, n_distinct, dup_line_frac,
                top_word_n
         FROM per_line JOIN top USING (doc_id)
+    """,
+    "pii_redact": """
+        SELECT event_id,
+               CAST(len(regexp_extract_all(props, '[0-9]+'))
+                    AS INTEGER) AS n_digit_runs,
+               regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
+        FROM events
     """,
     "redirect_hops": """
         SELECT o1.o_custkey, CAST(count(*) AS BIGINT) AS n_hops

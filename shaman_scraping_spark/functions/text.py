@@ -136,3 +136,40 @@ def top_word_frac(text_col: str = "text") -> Column:
     return F.when(
         n > 0, top_word_count(text_col).cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
+
+
+# --- PII scanning / redaction ------------------------------------------------
+# Training corpora scrub obvious PII before the data ships.  Patterns
+# are deliberately conservative ASCII regexes that mean the same thing
+# in Java (Spark) and RE2 (DuckDB) so the driver contract can mirror
+# the machinery; a production deployment swaps richer patterns (or a
+# NER pass) behind the same column contract.  Order matters for
+# redaction: emails first (their local parts contain digits), then
+# phones, then bare IPv4s.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Per-row match counts for each PII pattern (n_email, n_phone,
+    n_ipv4) — pure Catalyst ``regexp_extract_all``, codegen'd, no UDF."""
+    return {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: str = "text", token: str = "<PII>") -> Column:
+    """Replace every PII match with *token*, applying the patterns in
+    PII_PATTERNS order (emails before phones before IPv4s so digit-
+    bearing emails are not half-eaten by the phone pattern)."""
+    out = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

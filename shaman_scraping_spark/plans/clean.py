@@ -15,6 +15,9 @@ Stages (each a documented operator from the training-data suite):
 2b. **line-level dedup** (opt-in, ``dup_line_min_docs``) — whole lines
    duplicated across ≥ N documents are stripped from every text
    (CCNet-style; `operators/dedup.py dup_lines/strip_dup_lines`).
+3b. **PII redaction** (opt-in, ``redact``) — emails/phones/IPv4s are
+   counted per-row then replaced with ``<PII>`` (`functions/text.py
+   pii_counts/redact_pii`, pure regexp kernels).
 3. **boilerplate strip** — the top-*boilerplate_top* k-gram shingles
    shared by ≥ *boilerplate_min_docs* documents (`boilerplate_shingles`)
    are removed from every text (whole-word literal replace, then
@@ -36,7 +39,9 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shaman_scraping_spark.functions.text import lang_id, quality_features
+from shaman_scraping_spark.functions.text import (
+    lang_id, pii_counts, quality_features, redact_pii,
+)
 from shaman_scraping_spark.operators.dedup import (
     boilerplate_shingles, dup_lines, exact_dedup, minhash_neardup_pairs,
     strip_dup_lines,
@@ -70,6 +75,7 @@ def clean_corpus(
     boilerplate_top: int = 20,
     min_tokens: int = 0,
     dup_line_min_docs: int | None = None,
+    redact: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the 4-stage cleaning chain; returns (cleaned_df, stats).
 
@@ -123,6 +129,22 @@ def clean_corpus(
     ]
     cleaned = strip_boilerplate(survivors2, bp, text_col)
 
+    # 3b. PII redaction (opt-in): stamp per-row match counts, then
+    # rewrite the text — all inside Catalyst regexp kernels; the only
+    # driver-visible number is the bounded corpus-total match count.
+    n_pii = 0
+    if redact:
+        for name, col in pii_counts(text_col).items():
+            cleaned = cleaned.withColumn(name, col)
+        count_cols = [f"n_{k}" for k in ("email", "phone", "ipv4")]
+        cleaned = cleaned.withColumn(
+            text_col, redact_pii(text_col)
+        ).persist()
+        totals = cleaned.agg(
+            *[F.sum(c).alias(c) for c in count_cols]
+        ).collect()[0]
+        n_pii = int(sum(totals[c] or 0 for c in count_cols))
+
     # 4. annotate + length filter
     feats = quality_features(text_col)
     for name, col in feats.items():
@@ -137,5 +159,6 @@ def clean_corpus(
         "boilerplate_shingles": bp,
         "min_docs_for_boilerplate": min_docs,
         "dup_lines_stripped": n_dup_lines,
+        "pii_matches_redacted": n_pii,
     }
     return cleaned, stats
