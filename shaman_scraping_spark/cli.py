@@ -52,6 +52,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    default="auto")
     # op 49: robots Sitemap: directives seed the frontier (depth 0)
     p.add_argument("--use-sitemaps", action="store_true")
+    # op 4/59: WARC archive tee + content-dedup revisit records
+    p.add_argument("--warc-dir", default=None,
+                   help="tee fetched payloads into WARC part-files here")
+    p.add_argument("--warc-dedup", action="store_true",
+                   help="write byte-identical re-fetches as WARC revisit "
+                        "records (pointer, no payload)")
 
 
 def _config_from(args):
@@ -76,6 +82,8 @@ def _config_from(args):
         seen_layout=args.seen_layout,
         fetch_join=args.fetch_join,
         use_sitemaps=args.use_sitemaps,
+        warc_dir=args.warc_dir,
+        warc_dedup=args.warc_dedup,
     )
 
 
@@ -111,6 +119,15 @@ def build_parser() -> argparse.ArgumentParser:
     p_rank.add_argument("--damping", type=float, default=0.85)
     p_rank.add_argument("--top", type=int, default=20)
     p_rank.add_argument("--master", default=None)
+
+    p_cdx = sub.add_parser(
+        "cdx", help="build the sorted CDX lookup index from a crawl's "
+                    "warc_index table"
+    )
+    p_cdx.add_argument("--state", required=True)
+    p_cdx.add_argument("--output", required=True)
+    p_cdx.add_argument("--partitions", type=int, default=None)
+    p_cdx.add_argument("--master", default=None)
 
     p_clean = sub.add_parser(
         "clean", help="training-data cleaning pipeline over a parquet corpus"
@@ -171,6 +188,20 @@ def main(argv: list[str] | None = None) -> int:
         cleaned.write.mode("overwrite").parquet(args.output)
         stats["output_rows"] = spark.read.parquet(args.output).count()
         print(json.dumps(stats, sort_keys=True))
+        return 0
+
+    if args.cmd == "cdx":
+        from shaman_scraping_spark.io.tableio import TableIO
+        from shaman_scraping_spark.sources.cdx import write_cdx
+
+        idx = TableIO(spark, args.state).load("warc_index")
+        if idx is None:
+            print("cdx: no warc_index table in state dir (crawl with "
+                  "--warc-dir first)", file=sys.stderr)
+            return 1
+        write_cdx(idx, args.output, args.partitions)
+        n = spark.read.parquet(args.output).count()
+        print(f"cdx: {n} index rows written to {args.output}")
         return 0
 
     if args.cmd == "rank":

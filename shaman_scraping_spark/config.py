@@ -195,6 +195,13 @@ class CrawlConfig:
     # the reference's ACTUAL persistent output (WARC archive + sidecar
     # index).  Requires archive_html=True.
     warc_dir: str | None = None
+    # Content dedup in the WARC tee: payloads whose sha1 digest was
+    # already archived (this wave or any earlier one) are written as
+    # WARC `revisit` records (pointer, no payload) — the standard
+    # web-archive dedup that collapses byte-identical re-fetches.
+    # Costs one window shuffle on digest + one join against the prior
+    # index per wave; off by default.
+    warc_dedup: bool = False
     # CollectAdditionalLinks-style hooks: regex strings (one capture
     # group = the href) applied to script/comment-stripped html in the
     # same UDF pass as a[href] extraction; hook links append after the

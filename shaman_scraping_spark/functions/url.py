@@ -191,3 +191,31 @@ def with_url_columns(df, url_col: str = "url"):
         .withColumn("url_hash", url_hash(F.col("url_canon")))
         .withColumn("host", url_host(F.col("url_canon")))
     )
+
+
+# --- SURT keys (CDX indexing) ------------------------------------------------
+
+def surt_key(url_canon: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a CANONICAL
+    url: host labels reversed and comma-joined, then ')' + path?query —
+    `com,example)/a?q=1`.  Grouping every subdomain/path under a common
+    prefix makes a lexicographically sorted index range-scannable per
+    site — the layout CDX archive indexes sort by.  Pure Catalyst
+    (regexp + split/reverse/join), codegen'd."""
+    authority = F.regexp_extract(url_canon, r"^[a-z]+://([^/]*)", 1)
+    rest = F.regexp_extract(url_canon, r"^[a-z]+://[^/]*(/.*)$", 1)
+    rev = F.array_join(F.reverse(F.split(authority, r"\.")), ",")
+    return F.concat(
+        rev, F.lit(")"),
+        F.when(rest == "", F.lit("/")).otherwise(rest),
+    )
+
+
+def surt_key_py(url_canon: str) -> str:
+    """Python twin of :func:`surt_key` — byte-identical on canonical
+    URLs (property-tested)."""
+    scheme_rest = url_canon.split("://", 1)[1]
+    slash = scheme_rest.find("/")
+    authority = scheme_rest[:slash] if slash >= 0 else scheme_rest
+    rest = scheme_rest[slash:] if slash >= 0 else "/"
+    return ",".join(reversed(authority.split("."))) + ")" + rest

@@ -1562,6 +1562,13 @@ class CrawlEngine:
                 import shutil
                 shutil.rmtree(wave_dir)  # idempotent wave re-run
             wave_dir.mkdir(parents=True, exist_ok=True)
+            prior_digests = None
+            if cfg.warc_dedup:
+                prior_idx = self.io.load("warc_index")
+                if prior_idx is not None and "digest" in prior_idx.columns:
+                    prior_digests = prior_idx.filter(
+                        F.col("record_type") == "response"
+                    ).select("digest", "url")
             warc_idx = write_warc_archive(
                 fdf.filter(F.col("html").isNotNull()).select(
                     "url_canon",
@@ -1569,6 +1576,8 @@ class CrawlEngine:
                     "html", "status",
                 ),
                 str(wave_dir),
+                dedup=cfg.warc_dedup,
+                prior_digests=prior_digests,
             )
             commits.append(("warc_index", lambda: self.io.commit(
                 "warc_index", warc_idx, wave, mode="append")))

@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_ROW_SCHEMA = (
     "warc_file string, url string, warc_ts timestamp, record_type string, "
-    "http_status int, content_type string, payload binary"
+    "http_status int, content_type string, payload binary, digest string, "
+    "refers_to string"
 )
 
 _CRLF = b"\r\n"
@@ -94,7 +95,7 @@ def parse_warc_bytes(raw: bytes, warc_file: str = "") -> list[dict]:
         http_status = None
         content_type = headers.get("content-type")
         payload = block
-        if rec_type == "response" and block[:5] in (b"HTTP/",):
+        if rec_type in ("response", "revisit") and block[:5] in (b"HTTP/",):
             http_end = block.find(_CRLF + _CRLF)
             if http_end >= 0:
                 http_hdr = block[:http_end]
@@ -105,6 +106,7 @@ def parse_warc_bytes(raw: bytes, warc_file: str = "") -> list[dict]:
                 hh = _parse_headers(http_hdr)
                 content_type = hh.get("content-type", content_type)
                 payload = block[http_end + 4:]
+        digest = headers.get("warc-payload-digest")
         out.append(
             {
                 "warc_file": warc_file,
@@ -114,6 +116,10 @@ def parse_warc_bytes(raw: bytes, warc_file: str = "") -> list[dict]:
                 "http_status": http_status,
                 "content_type": content_type,
                 "payload": payload,
+                "digest": (
+                    digest.split(":", 1)[-1] if digest else None
+                ),
+                "refers_to": headers.get("warc-refers-to-target-uri"),
             }
         )
         pos = block_end
@@ -134,12 +140,19 @@ def _parse_warc_date(s: str | None):
 def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
     """Serialize records (url, warc_ts, payload, http_status,
     content_type) to WARC 1.0 bytes; one gzip member per record when
-    compressed (the standard seekable layout)."""
+    compressed (the standard seekable layout).
+
+    Optional per-record keys: ``digest`` (sha1 hex → WARC-Payload-Digest
+    header) and ``record_type='revisit'`` + ``refers_to`` (content-dedup
+    revisit record: WARC-Refers-To-Target-URI header, HTTP status line
+    kept, payload omitted — the archive stores duplicate content once).
+    """
     out = io.BytesIO()
     for r in records:
         status = r.get("http_status", 200) or 200
         ctype = r.get("content_type") or "text/html"
-        payload = r.get("payload") or b""
+        rec_type = r.get("record_type", "response")
+        payload = b"" if rec_type == "revisit" else (r.get("payload") or b"")
         http = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
@@ -149,11 +162,21 @@ def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
             ts.strftime("%Y-%m-%dT%H:%M:%SZ")
             if ts is not None else "2024-01-01T00:00:00Z"
         )
+        extra = ""
+        if r.get("digest"):
+            extra += f"WARC-Payload-Digest: sha1:{r['digest']}\r\n"
+        if rec_type == "revisit":
+            extra += (
+                f"WARC-Refers-To-Target-URI: {r.get('refers_to', '')}\r\n"
+                "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest\r\n"
+            )
         hdr = (
             "WARC/1.0\r\n"
-            f"WARC-Type: {r.get('record_type', 'response')}\r\n"
+            f"WARC-Type: {rec_type}\r\n"
             f"WARC-Target-URI: {r.get('url', '')}\r\n"
             f"WARC-Date: {date}\r\n"
+            f"{extra}"
             "Content-Type: application/http; msgtype=response\r\n"
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode("latin-1")
@@ -166,18 +189,20 @@ def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
 
 WARC_INDEX_SCHEMA = (
     "url string, warc_ts timestamp, warc_file string, offset long, "
-    "length long, http_status int"
+    "length long, http_status int, digest string, record_type string"
 )
 
 
 def write_warc_archive(
     df: DataFrame, out_dir: str, compress: bool = True,
+    dedup: bool = False, prior_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed WARC sink: each partition writes ONE `.warc(.gz)`
     part-file (one gzip member per record — the standard seekable
     layout) and emits its index rows (url, warc_ts, warc_file, offset,
-    length, http_status), the WarcItem-sidecar pattern: random access
-    to any record by (file, offset, length) without rescanning.
+    length, http_status, digest, record_type), the WarcItem-sidecar
+    pattern: random access to any record by (file, offset, length)
+    without rescanning.
 
     *df* columns: ``url_canon``/``url``, ``warc_ts``, ``html``
     (payload), ``status``.  Lazy: the files are written when the
@@ -185,9 +210,21 @@ def write_warc_archive(
     index through TableIO, so archive + index cost one Spark action.
     Filenames are deterministic per partition id → an idempotent wave
     re-run overwrites its own part-files.
+
+    ``dedup=True`` enables standard web-archive content dedup: every
+    payload gets a JVM-side sha1 digest; within the batch only the
+    first (url, warc_ts)-ordered row per digest stores its payload as
+    a ``response`` — the rest become ``revisit`` records carrying only
+    a WARC-Refers-To-Target-URI pointer.  *prior_digests* (digest,
+    url — e.g. earlier waves' index filtered to responses) extends the
+    dedup across commits: any digest already archived becomes a
+    revisit pointing at the prior copy.  Scale shape: one window
+    shuffle on digest + one hash equi-join against the prior dim
+    (never broadcast — it scales with distinct archived payloads).
     """
     import os
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     url_col = "url_canon" if "url_canon" in df.columns else "url"
@@ -197,7 +234,44 @@ def write_warc_archive(
             F.col("warc_ts"), F.lit(datetime(2024, 1, 1, tzinfo=timezone.utc))
         ).alias("warc_ts"),
         F.col("html"), F.col("status"),
+    ).withColumn(
+        "digest", F.sha1(F.coalesce(F.col("html"), F.lit(b"")))
     )
+    if dedup:
+        w = Window.partitionBy("digest").orderBy("url", "warc_ts")
+        slim = (
+            slim.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__first_url", F.first("url").over(w))
+        )
+        if prior_digests is not None:
+            prior = (
+                prior_digests.select(
+                    F.col("digest"), F.col("url").alias("__prior_url")
+                )
+                # one pointer per digest: min url is deterministic
+                .groupBy("digest")
+                .agg(F.min("__prior_url").alias("__prior_url"))
+            )
+            slim = slim.join(prior, "digest", "left")
+        else:
+            slim = slim.withColumn(
+                "__prior_url", F.lit(None).cast("string")
+            )
+        slim = slim.select(
+            "url", "warc_ts", "html", "status", "digest",
+            F.when(
+                F.col("__prior_url").isNotNull() | (F.col("__rn") > 1),
+                F.lit("revisit"),
+            ).otherwise(F.lit("response")).alias("record_type"),
+            F.coalesce(
+                F.col("__prior_url"),
+                F.when(F.col("__rn") > 1, F.col("__first_url")),
+            ).alias("refers_to"),
+        )
+    else:
+        slim = slim.withColumn(
+            "record_type", F.lit("response")
+        ).withColumn("refers_to", F.lit(None).cast("string"))
     ext = ".warc.gz" if compress else ".warc"
 
     def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -215,7 +289,8 @@ def write_warc_archive(
         # wrote identical bytes, so either is correct).
         tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         idx = {"url": [], "warc_ts": [], "warc_file": [], "offset": [],
-               "length": [], "http_status": []}
+               "length": [], "http_status": [], "digest": [],
+               "record_type": []}
         wrote = False
         with open(tmp, "wb") as fh:
             offset = 0
@@ -224,11 +299,17 @@ def write_warc_archive(
                 tss = batch.column(1).to_pylist()
                 payloads = batch.column(2)
                 statuses = batch.column(3).to_pylist()
+                digests = batch.column(4).to_pylist()
+                rec_types = batch.column(5).to_pylist()
+                refers = batch.column(6).to_pylist()
                 for i, u in enumerate(urls):
                     payload = payloads[i].as_py() or b""
                     rec = write_warc_bytes(
                         [{"url": u, "warc_ts": tss[i], "payload": payload,
-                          "http_status": statuses[i]}],
+                          "http_status": statuses[i],
+                          "digest": digests[i],
+                          "record_type": rec_types[i],
+                          "refers_to": refers[i]}],
                         compress=compress,
                     )
                     fh.write(rec)
@@ -239,6 +320,8 @@ def write_warc_archive(
                     idx["offset"].append(offset)
                     idx["length"].append(len(rec))
                     idx["http_status"].append(statuses[i])
+                    idx["digest"].append(digests[i])
+                    idx["record_type"].append(rec_types[i])
                     offset += len(rec)
         if wrote:
             os.replace(tmp, path)  # atomic publish
@@ -250,6 +333,8 @@ def write_warc_archive(
                     pa.array(idx["offset"], type=pa.int64()),
                     pa.array(idx["length"], type=pa.int64()),
                     pa.array(idx["http_status"], type=pa.int32()),
+                    pa.array(idx["digest"], type=pa.string()),
+                    pa.array(idx["record_type"], type=pa.string()),
                 ],
                 list(idx.keys()),
             )
@@ -288,7 +373,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             rows = {
                 "warc_file": [], "url": [], "warc_ts": [],
                 "record_type": [], "http_status": [], "content_type": [],
-                "payload": [],
+                "payload": [], "digest": [], "refers_to": [],
             }
             for i, p in enumerate(paths):
                 raw = contents[i].as_py()
@@ -306,6 +391,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         pa.array(rows["http_status"], type=pa.int32()),
                         pa.array(rows["content_type"], type=pa.string()),
                         pa.array(rows["payload"], type=pa.binary()),
+                        pa.array(rows["digest"], type=pa.string()),
+                        pa.array(rows["refers_to"], type=pa.string()),
                     ],
                     list(rows.keys()),
                 )
