@@ -42,6 +42,36 @@ def test_surt_twin_property(spark):
         "com,example,www)/a/b?q=1"
 
 
+def test_surt_twin_generated_property(spark):
+    """Generated-corpus property run (repo's property-test style): 300
+    seeded random URLs through canonicalize -> Catalyst surt_key must
+    byte-equal the Python twin on every row."""
+    import random
+
+    rng = random.Random(42)
+    tlds = ["com", "org", "example", "co.uk"]
+    urls = []
+    for i in range(300):
+        labels = [f"l{rng.randrange(10)}" for _ in range(rng.randrange(1, 4))]
+        host = ".".join(labels + [rng.choice(tlds)])
+        port = f":{rng.randrange(1, 65535)}" if rng.random() < 0.2 else ""
+        segs = "/".join(f"p{rng.randrange(100)}"
+                        for _ in range(rng.randrange(0, 4)))
+        q = ("?" + "&".join(f"k{j}={rng.randrange(9)}"
+                            for j in range(rng.randrange(0, 3)))
+             if rng.random() < 0.5 else "")
+        q = "" if q == "?" else q
+        urls.append(f"http://{host}{port}/{segs}{q}")
+    canon = [c for c in (canonicalize_url_py(u) for u in urls) if c]
+    assert len(canon) >= 290
+    df = spark.createDataFrame([(c,) for c in canon], "u string")
+    rows = df.select(
+        "u", surt_key(F.col("u")).alias("k")
+    ).collect()
+    for r in rows:
+        assert r["k"] == surt_key_py(r["u"]), r["u"]
+
+
 def test_revisit_record_roundtrip():
     recs = [
         {"url": "http://a.example/", "warc_ts": TS, "payload": b"<p>x</p>",
