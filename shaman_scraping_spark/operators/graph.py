@@ -128,8 +128,12 @@ def pagerank(
             ranks.join(dangling, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
+        # contrib has at most one row per in-linked node — when ranks
+        # are broadcastable so is it, which turns the rank update into
+        # a second broadcast join (zero extra exchanges per iteration)
+        contrib_side = F.broadcast(contrib) if broadcast_ranks else contrib
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(contrib_side, nodes.node == contrib_side.dst, "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 nodes.node,

@@ -382,6 +382,49 @@ class StreamingCrawl:
         fetched.drop("html", "redirect_to").write.mode("overwrite").parquet(
             str(self.work / "fetched" / f"batch-{batch_id:08d}")
         )
+        if cfg.warc_dir:
+            # op 4/59 streaming leg: per-batch WARC tee, same replay
+            # discipline — the batch replaces its own archive dir and
+            # index dir wholesale, so an at-least-once replay is
+            # byte-idempotent.  With warc_dedup, prior digests come
+            # from STRICTLY EARLIER batches only: a replayed batch must
+            # never read its own crashed first attempt as "prior", or
+            # its responses would self-demote to revisits on replay.
+            import shutil
+
+            from shaman_scraping_spark.sources.warc import (
+                write_warc_archive,
+            )
+
+            batch_warc = Path(cfg.warc_dir) / f"batch-{batch_id:08d}"
+            if batch_warc.exists():
+                shutil.rmtree(batch_warc)
+            batch_warc.mkdir(parents=True, exist_ok=True)
+            prior = None
+            if cfg.warc_dedup:
+                earlier = sorted(
+                    d for d in (self.work / "warc_index").glob("batch-*")
+                    if d.name < f"batch-{batch_id:08d}"
+                )
+                if earlier:
+                    prior = self.spark.read.parquet(
+                        *[str(d) for d in earlier]
+                    ).filter(F.col("record_type") == "response").select(
+                        "digest", "url"
+                    )
+            warc_idx = write_warc_archive(
+                fetched.filter(F.col("html").isNotNull()).select(
+                    "url_canon",
+                    F.col("fetch_ts").alias("warc_ts"),
+                    "html", "status",
+                ),
+                str(batch_warc),
+                dedup=cfg.warc_dedup,
+                prior_digests=prior,
+            )
+            warc_idx.write.mode("overwrite").parquet(
+                str(self.work / "warc_index" / f"batch-{batch_id:08d}")
+            )
         links = fetched.filter(F.col("status") == 200).select(
             F.col("url_canon").alias("parent_canon"),
             F.col("depth").alias("parent_depth"),
@@ -508,3 +551,10 @@ class StreamingCrawl:
 
     def seen_set(self) -> DataFrame:
         return self._seen()
+
+    def warc_index(self) -> DataFrame:
+        """Sidecar index of the streaming WARC tee (cfg.warc_dir set):
+        one row per archived record across all micro-batches."""
+        return self.spark.read.parquet(
+            str(self.work / "warc_index" / "batch-*")
+        )

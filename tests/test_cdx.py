@@ -235,3 +235,68 @@ def test_engine_warc_dedup_e2e(spark, tmp_path):
         resolved["http://h1.example/b"]["payload_length"],
     )
     assert bytes(rec["payload"]) == dup_html
+
+
+@pytest.mark.slow
+def test_streaming_warc_tee_dedup(spark, tmp_path_factory):
+    """Op 4/59 streaming leg: the micro-batch WARC tee archives every
+    payload-bearing fetch, and with warc_dedup each distinct payload is
+    stored exactly once — later copies (same batch or a later one)
+    become revisit records resolving to the stored response."""
+    from shaman_scraping_spark.config import CrawlConfig
+    from shaman_scraping_spark.streaming.crawl_stream import StreamingCrawl
+
+    dup_html = b'<html><body>dup page <a href="/c">c</a></body></html>'
+    seed_html = (b'<html><body><a href="/a">a</a> '
+                 b'<a href="/b">b</a></body></html>')
+    rows = [
+        ("http://h1.example/", TS, seed_html, "", "en"),
+        ("http://h1.example/a", TS, dup_html, "", "en"),
+        ("http://h1.example/b", TS, dup_html, "", "en"),
+        ("http://h1.example/c", TS, dup_html, "", "en"),
+    ]
+    base = tmp_path_factory.mktemp("stream_warc")
+    pages = base / "pages.parquet"
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(str(pages))
+
+    warc_dir = base / "warc"
+    cfg = CrawlConfig(
+        seeds=("http://h1.example/",), max_waves=50,
+        default_crawl_delay=0.0,
+        warc_dir=str(warc_dir), warc_dedup=True,
+    )
+    sc = StreamingCrawl(spark, cfg, str(pages), str(base / "work"))
+    sc.run(idle_timeout_s=15.0)
+
+    fetched_urls = {
+        r["url_canon"]
+        for r in sc.fetched().filter(F.col("status") == 200).collect()
+    }
+    idx = sc.warc_index().collect()
+    assert {r["url"] for r in idx} == fetched_urls == {
+        "http://h1.example/", "http://h1.example/a",
+        "http://h1.example/b", "http://h1.example/c",
+    }
+    # exactly one stored copy per distinct payload, rest are revisits
+    responses = {r["url"]: r for r in idx if r["record_type"] == "response"}
+    revisits = [r for r in idx if r["record_type"] == "revisit"]
+    digests = {}
+    for r in idx:
+        digests.setdefault(r["digest"], []).append(r["record_type"])
+    for d, types in digests.items():
+        assert types.count("response") == 1, (d, types)
+    assert len(revisits) == 2  # two of the three dup-payload pages
+    # every revisit resolves to the response copy holding the bytes
+    cdx = build_cdx(spark.createDataFrame(idx))
+    resolved = {r["url"]: r for r in resolve_revisits(cdx).collect()}
+    for rv in revisits:
+        rec = read_warc_record(
+            resolved[rv["url"]]["payload_file"],
+            resolved[rv["url"]]["payload_offset"],
+            resolved[rv["url"]]["payload_length"],
+        )
+        assert bytes(rec["payload"]) == dup_html
