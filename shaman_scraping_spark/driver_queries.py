@@ -368,6 +368,19 @@ def q_repetition_filter(spark, sf):
     return per_line.join(top, "doc_id")
 
 
+def q_semantic_clusters(spark, sf):
+    """Op 61 (`operators/similarity.semantic_clusters`): distributed
+    k-means over the embedding column (MLlib, array_to_vector JVM-side).
+    Iterative — no SQL oracle; rows-only by documented omission (like
+    ann_lsh); geometry correctness is pytest-gated on planted blobs
+    (tests/test_semdedup.py)."""
+    from shaman_scraping_spark.operators.similarity import (
+        semantic_clusters,
+    )
+
+    return semantic_clusters(_t_wide(spark, sf, "embeddings"), k=10)
+
+
 def q_pii_redact(spark, sf):
     """Op 58 (`functions/text.pii_counts` / `redact_pii` machinery):
     regex scan-count + global redaction, exercised on events.props with
@@ -619,6 +632,7 @@ QUERIES = {
     "dup_lines": q_dup_lines,
     "repetition_filter": q_repetition_filter,
     "pii_redact": q_pii_redact,
+    "semantic_cluster": q_semantic_clusters,
     "redirect_hops": q_redirect_hops,
     "lineage_agg": q_lineage_agg,
     "stats_cube": q_stats_cube,

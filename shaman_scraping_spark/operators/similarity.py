@@ -222,3 +222,72 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup -----------------------------
+
+def semantic_clusters(
+    vectors: DataFrame, k: int = 16, max_iter: int = 20, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means cluster ids over an embedding column — (id, cluster).
+
+    Distributed MLlib k-means (k-means|| init): fit is a handful of
+    passes over the data, assignment one map — both scale with
+    executors; only the k centroids ever reach the driver.  The
+    array<float> column converts to the ml vector type JVM-side
+    (``array_to_vector``), no Python in the loop.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features"),
+    )
+    model = KMeans(
+        k=k, maxIter=max_iter, seed=seed, featuresCol="__features",
+        predictionCol="cluster",
+    ).fit(feats)
+    return model.transform(feats).select(id_col, "cluster")
+
+
+def semdedup_pairs(
+    vectors: DataFrame, k: int = 16, threshold: float = 0.95,
+    max_iter: int = 20, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates: k-means partitions the
+    corpus, then cosine pairs ≥ *threshold* are scored WITHIN each
+    cluster only — the candidate join is equi on cluster id, never
+    all-pairs; with balanced clusters the pair space shrinks ~k×, and
+    near-duplicates (which land in the same cell by construction —
+    their distance to every centroid is nearly equal) are retained.
+    Output (id_a, id_b, cosine_sim); drop the higher id of each pair
+    to prune, as with the MinHash pipeline.
+    """
+    assigned = semantic_clusters(
+        vectors, k=k, max_iter=max_iter, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    v = vectors.select(id_col, vec_col).join(assigned, id_col)
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine_sim",
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine_sim",
+        )
+    )
