@@ -58,6 +58,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--warc-dedup", action="store_true",
                    help="write byte-identical re-fetches as WARC revisit "
                         "records (pointer, no payload)")
+    # op 62: extracted-text WET tee (conversion records)
+    p.add_argument("--wet-dir", default=None,
+                   help="tee extracted text into WET conversion records")
 
 
 def _config_from(args):
@@ -84,6 +87,7 @@ def _config_from(args):
         use_sitemaps=args.use_sitemaps,
         warc_dir=args.warc_dir,
         warc_dedup=args.warc_dedup,
+        wet_dir=args.wet_dir,
     )
 
 

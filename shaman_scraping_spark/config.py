@@ -202,6 +202,11 @@ class CrawlConfig:
     # Costs one window shuffle on digest + one join against the prior
     # index per wave; off by default.
     warc_dedup: bool = False
+    # When set, each wave also tees its EXTRACTED TEXT into
+    # `{wet_dir}/wave-NNNNNN/part-*.warc.gz` as WET `conversion`
+    # records (text/plain blocks, no HTTP wrapper — Common Crawl's
+    # text sibling of the WARC) with index rows in `wet_index`.
+    wet_dir: str | None = None
     # CollectAdditionalLinks-style hooks: regex strings (one capture
     # group = the href) applied to script/comment-stripped html in the
     # same UDF pass as a[href] extraction; hook links append after the

@@ -1581,6 +1581,29 @@ class CrawlEngine:
             )
             commits.append(("warc_index", lambda: self.io.commit(
                 "warc_index", warc_idx, wave, mode="append")))
+        if cfg.wet_dir:
+            # op 62: WET tee — extracted-text conversion records, same
+            # sink discipline as the WARC tee (idempotent wave dirs,
+            # archive written as a side effect of the index commit)
+            from shaman_scraping_spark.sources.warc import (
+                write_wet_archive,
+            )
+
+            wet_wave_dir = Path(cfg.wet_dir) / f"wave-{wave:06d}"
+            if wet_wave_dir.exists():
+                import shutil
+                shutil.rmtree(wet_wave_dir)
+            wet_wave_dir.mkdir(parents=True, exist_ok=True)
+            wet_idx = write_wet_archive(
+                fdf.filter(F.col("text").isNotNull()).select(
+                    "url_canon",
+                    F.col("fetch_ts").alias("warc_ts"),
+                    "text",
+                ),
+                str(wet_wave_dir),
+            )
+            commits.append(("wet_index", lambda: self.io.commit(
+                "wet_index", wet_idx, wave, mode="append")))
         if self.record_emission:
             # golden_quota fixture (test/golden path only)
             quota_log = (

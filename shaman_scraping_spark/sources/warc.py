@@ -143,9 +143,11 @@ def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
     compressed (the standard seekable layout).
 
     Optional per-record keys: ``digest`` (sha1 hex → WARC-Payload-Digest
-    header) and ``record_type='revisit'`` + ``refers_to`` (content-dedup
+    header), ``record_type='revisit'`` + ``refers_to`` (content-dedup
     revisit record: WARC-Refers-To-Target-URI header, HTTP status line
-    kept, payload omitted — the archive stores duplicate content once).
+    kept, payload omitted — the archive stores duplicate content once),
+    and ``plain=True`` (WET-style block: the payload bytes verbatim, no
+    HTTP wrapper — used by ``record_type='conversion'`` text records).
     """
     out = io.BytesIO()
     for r in records:
@@ -153,10 +155,15 @@ def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
         ctype = r.get("content_type") or "text/html"
         rec_type = r.get("record_type", "response")
         payload = b"" if rec_type == "revisit" else (r.get("payload") or b"")
-        http = (
-            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode("latin-1") + payload
+        if r.get("plain"):
+            http = payload
+            block_ctype = r.get("content_type") or "text/plain"
+        else:
+            http = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1") + payload
+            block_ctype = "application/http; msgtype=response"
         ts = r.get("warc_ts")
         date = (
             ts.strftime("%Y-%m-%dT%H:%M:%SZ")
@@ -177,7 +184,7 @@ def write_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
             f"WARC-Target-URI: {r.get('url', '')}\r\n"
             f"WARC-Date: {date}\r\n"
             f"{extra}"
-            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Type: {block_ctype}\r\n"
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode("latin-1")
         rec = hdr + http + _CRLF + _CRLF
@@ -196,6 +203,7 @@ WARC_INDEX_SCHEMA = (
 def write_warc_archive(
     df: DataFrame, out_dir: str, compress: bool = True,
     dedup: bool = False, prior_digests: DataFrame | None = None,
+    record_type: str = "response", plain: bool = False,
 ) -> DataFrame:
     """Distributed WARC sink: each partition writes ONE `.warc(.gz)`
     part-file (one gzip member per record — the standard seekable
@@ -270,7 +278,7 @@ def write_warc_archive(
         )
     else:
         slim = slim.withColumn(
-            "record_type", F.lit("response")
+            "record_type", F.lit(record_type)
         ).withColumn("refers_to", F.lit(None).cast("string"))
     ext = ".warc.gz" if compress else ".warc"
 
@@ -309,7 +317,8 @@ def write_warc_archive(
                           "http_status": statuses[i],
                           "digest": digests[i],
                           "record_type": rec_types[i],
-                          "refers_to": refers[i]}],
+                          "refers_to": refers[i],
+                          "plain": plain}],
                         compress=compress,
                     )
                     fh.write(rec)
@@ -398,3 +407,32 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.mapInArrow(split, WARC_ROW_SCHEMA)
+
+
+def write_wet_archive(
+    df: DataFrame, out_dir: str, compress: bool = True,
+) -> DataFrame:
+    """WET tee (op 62): Common Crawl's text sibling of the WARC —
+    one ``conversion`` record per page holding the EXTRACTED TEXT
+    verbatim (no HTTP wrapper, WARC block Content-Type text/plain),
+    the format text-pipeline consumers read instead of paying the
+    HTML parse.  Same distributed sink + sidecar index as
+    ``write_warc_archive`` (one part-file per partition, atomic
+    per-attempt publish, lazy until the index materializes).
+
+    *df* columns: ``url_canon``/``url``, ``warc_ts``, ``text``.
+    """
+    from pyspark.sql import functions as F
+
+    url_col = "url_canon" if "url_canon" in df.columns else "url"
+    wet = df.select(
+        F.col(url_col).alias("url"),
+        F.col("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        .alias("html"),
+        F.lit(200).alias("status"),
+    )
+    return write_warc_archive(
+        wet, out_dir, compress=compress,
+        record_type="conversion", plain=True,
+    )

@@ -300,3 +300,64 @@ def test_streaming_warc_tee_dedup(spark, tmp_path_factory):
             resolved[rv["url"]]["payload_length"],
         )
         assert bytes(rec["payload"]) == dup_html
+
+
+def test_wet_conversion_roundtrip():
+    """Op 62 kernel: plain conversion records round-trip — block is the
+    text bytes verbatim (no HTTP wrapper), Content-Type text/plain."""
+    recs = [{
+        "url": "http://a.example/", "warc_ts": TS,
+        "payload": "extracted text caf\xe9".encode("utf-8"),
+        "record_type": "conversion", "plain": True,
+    }]
+    raw = write_warc_bytes(recs)
+    assert b"HTTP/1.1" not in raw
+    got = parse_warc_bytes(raw, "f.wet")[0]
+    assert got["record_type"] == "conversion"
+    assert got["content_type"] == "text/plain"
+    assert got["http_status"] is None
+    assert got["payload"].decode("utf-8") == "extracted text caf\xe9"
+
+
+def test_engine_wet_tee_e2e(spark, tmp_path):
+    """Crawl with --wet-dir: every 200 fetch's EXTRACTED TEXT lands as
+    a conversion record, byte-equal to the fetched table's text."""
+    from shaman_scraping_spark.config import CrawlConfig
+    from shaman_scraping_spark.plans.engine import CrawlEngine
+
+    rows = [
+        ("http://h1.example/", TS,
+         b'<html><body>Front page. <a href="/a">a</a></body></html>',
+         "", "en"),
+        ("http://h1.example/a", TS,
+         "<html><body>Leaf caf\xe9 text.</body></html>".encode("utf-8"),
+         "", "en"),
+    ]
+    pages = tmp_path / "pages.parquet"
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(str(pages))
+
+    cfg = CrawlConfig(
+        seeds=("http://h1.example/",), max_waves=2,
+        wet_dir=str(tmp_path / "wet"),
+    )
+    eng = CrawlEngine(spark, cfg, str(pages), str(tmp_path / "state"))
+    eng.run()
+
+    want = {
+        r["url_canon"]: r["text"]
+        for r in eng.io.load("fetched")
+        .filter(F.col("text").isNotNull()).collect()
+    }
+    assert len(want) == 2
+    idx = {r["url"]: r for r in eng.io.load("wet_index").collect()}
+    assert set(idx) == set(want)
+    for url, row in idx.items():
+        rec = read_warc_record(
+            row["warc_file"], row["offset"], row["length"]
+        )
+        assert rec["record_type"] == "conversion"
+        assert rec["payload"].decode("utf-8") == want[url]
