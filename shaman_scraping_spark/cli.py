@@ -133,6 +133,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_cdx.add_argument("--partitions", type=int, default=None)
     p_cdx.add_argument("--master", default=None)
 
+    p_cdxq = sub.add_parser(
+        "cdx-lookup", help="point/prefix query against a built CDX index"
+    )
+    p_cdxq.add_argument("--cdx", required=True, help="write_cdx output path")
+    p_cdxq.add_argument("--url", required=True)
+    p_cdxq.add_argument("--prefix", action="store_true",
+                        help="treat --url as a site prefix (range scan)")
+    p_cdxq.add_argument("--limit", type=int, default=20)
+    p_cdxq.add_argument("--master", default=None)
+
     p_clean = sub.add_parser(
         "clean", help="training-data cleaning pipeline over a parquet corpus"
     )
@@ -206,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
         write_cdx(idx, args.output, args.partitions)
         n = spark.read.parquet(args.output).count()
         print(f"cdx: {n} index rows written to {args.output}")
+        return 0
+
+    if args.cmd == "cdx-lookup":
+        from shaman_scraping_spark.sources.cdx import cdx_lookup, cdx_prefix
+
+        q = (cdx_prefix(spark, args.cdx, args.url) if args.prefix
+             else cdx_lookup(spark, args.cdx, args.url))
+        q.limit(args.limit).show(truncate=False)
         return 0
 
     if args.cmd == "rank":
