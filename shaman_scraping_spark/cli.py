@@ -61,6 +61,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     # op 62: extracted-text WET tee (conversion records)
     p.add_argument("--wet-dir", default=None,
                    help="tee extracted text into WET conversion records")
+    p.add_argument("--wat-dir", default=None,
+                   help="tee capture metadata (url/status/links JSON) "
+                        "into WAT metadata records")
 
 
 def _config_from(args):
@@ -88,6 +91,7 @@ def _config_from(args):
         warc_dir=args.warc_dir,
         warc_dedup=args.warc_dedup,
         wet_dir=args.wet_dir,
+        wat_dir=args.wat_dir,
     )
 
 

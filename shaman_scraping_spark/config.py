@@ -207,6 +207,11 @@ class CrawlConfig:
     # records (text/plain blocks, no HTTP wrapper — Common Crawl's
     # text sibling of the WARC) with index rows in `wet_index`.
     wet_dir: str | None = None
+    # When set, each wave also tees per-capture metadata (url, status,
+    # n_bytes, out-links as a JSON envelope) into WAT `metadata`
+    # records at `{wat_dir}/wave-NNNNNN/` with index rows in
+    # `wat_index` — link-graph consumers read these, never payloads.
+    wat_dir: str | None = None
     # CollectAdditionalLinks-style hooks: regex strings (one capture
     # group = the href) applied to script/comment-stripped html in the
     # same UDF pass as a[href] extraction; hook links append after the

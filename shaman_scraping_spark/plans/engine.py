@@ -1604,6 +1604,27 @@ class CrawlEngine:
             )
             commits.append(("wet_index", lambda: self.io.commit(
                 "wet_index", wet_idx, wave, mode="append")))
+        if cfg.wat_dir:
+            # op 63: WAT tee — JSON metadata envelopes (same discipline)
+            from shaman_scraping_spark.sources.warc import (
+                write_wat_archive,
+            )
+
+            wat_wave_dir = Path(cfg.wat_dir) / f"wave-{wave:06d}"
+            if wat_wave_dir.exists():
+                import shutil
+                shutil.rmtree(wat_wave_dir)
+            wat_wave_dir.mkdir(parents=True, exist_ok=True)
+            wat_idx = write_wat_archive(
+                fdf.select(
+                    "url_canon",
+                    F.col("fetch_ts").alias("warc_ts"),
+                    "status", "links", "n_bytes",
+                ),
+                str(wat_wave_dir),
+            )
+            commits.append(("wat_index", lambda: self.io.commit(
+                "wat_index", wat_idx, wave, mode="append")))
         if self.record_emission:
             # golden_quota fixture (test/golden path only)
             quota_log = (

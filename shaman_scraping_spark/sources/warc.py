@@ -204,6 +204,7 @@ def write_warc_archive(
     df: DataFrame, out_dir: str, compress: bool = True,
     dedup: bool = False, prior_digests: DataFrame | None = None,
     record_type: str = "response", plain: bool = False,
+    content_type: str | None = None,
 ) -> DataFrame:
     """Distributed WARC sink: each partition writes ONE `.warc(.gz)`
     part-file (one gzip member per record — the standard seekable
@@ -318,7 +319,8 @@ def write_warc_archive(
                           "digest": digests[i],
                           "record_type": rec_types[i],
                           "refers_to": refers[i],
-                          "plain": plain}],
+                          "plain": plain,
+                          "content_type": content_type}],
                         compress=compress,
                     )
                     fh.write(rec)
@@ -435,4 +437,41 @@ def write_wet_archive(
     return write_warc_archive(
         wet, out_dir, compress=compress,
         record_type="conversion", plain=True,
+    )
+
+
+def write_wat_archive(
+    df: DataFrame, out_dir: str, compress: bool = True,
+) -> DataFrame:
+    """WAT tee (op 63): Common Crawl's metadata sibling — one
+    ``metadata`` record per capture holding a JSON envelope (url,
+    status, byte size, out-links) so link-graph / stats consumers
+    never touch payload bytes.  The JSON is built by Catalyst
+    ``to_json`` (deterministic field order from the struct), written
+    through the same distributed sink + sidecar index as WARC/WET.
+
+    *df* columns: ``url_canon``/``url``, ``warc_ts``, ``status``,
+    ``links`` (array<string>, nullable), optional ``n_bytes``.
+    """
+    from pyspark.sql import functions as F
+
+    url_col = "url_canon" if "url_canon" in df.columns else "url"
+    envelope = F.to_json(F.struct(
+        F.col(url_col).alias("url"),
+        F.col("status").alias("status"),
+        (F.col("n_bytes") if "n_bytes" in df.columns
+         else F.lit(None).cast("long")).alias("n_bytes"),
+        F.coalesce(F.col("links"), F.array().cast("array<string>"))
+        .alias("links"),
+    ))
+    wat = df.select(
+        F.col(url_col).alias("url"),
+        F.col("warc_ts"),
+        F.encode(envelope, "UTF-8").alias("html"),
+        F.col("status"),
+    )
+    return write_warc_archive(
+        wat, out_dir, compress=compress,
+        record_type="metadata", plain=True,
+        content_type="application/json",
     )

@@ -361,3 +361,48 @@ def test_engine_wet_tee_e2e(spark, tmp_path):
         )
         assert rec["record_type"] == "conversion"
         assert rec["payload"].decode("utf-8") == want[url]
+
+
+def test_engine_wat_tee_e2e(spark, tmp_path):
+    """Op 63: crawl with --wat-dir — every fetch gets a metadata record
+    whose JSON envelope carries status + out-links; link-graph
+    consumers can rebuild edges without payloads."""
+    import json
+
+    from shaman_scraping_spark.config import CrawlConfig
+    from shaman_scraping_spark.plans.engine import CrawlEngine
+
+    rows = [
+        ("http://h1.example/", TS,
+         b'<html><body><a href="/a">a</a></body></html>', "", "en"),
+        ("http://h1.example/a", TS,
+         b"<html><body>leaf</body></html>", "", "en"),
+    ]
+    pages = tmp_path / "pages.parquet"
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(str(pages))
+
+    cfg = CrawlConfig(
+        seeds=("http://h1.example/",), max_waves=2,
+        wat_dir=str(tmp_path / "wat"),
+    )
+    eng = CrawlEngine(spark, cfg, str(pages), str(tmp_path / "state"))
+    eng.run()
+
+    idx = {r["url"]: r for r in eng.io.load("wat_index").collect()}
+    assert set(idx) == {"http://h1.example/", "http://h1.example/a"}
+    envs = {}
+    for url, row in idx.items():
+        rec = read_warc_record(row["warc_file"], row["offset"],
+                               row["length"])
+        assert rec["record_type"] == "metadata"
+        assert rec["content_type"] == "application/json"
+        envs[url] = json.loads(rec["payload"].decode("utf-8"))
+    assert envs["http://h1.example/"]["status"] == 200
+    # the engine's links column is already base-resolved to absolute
+    assert envs["http://h1.example/"]["links"] == ["http://h1.example/a"]
+    assert envs["http://h1.example/a"]["links"] == []
+    assert envs["http://h1.example/a"]["n_bytes"] > 0
