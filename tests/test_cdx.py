@@ -406,3 +406,30 @@ def test_engine_wat_tee_e2e(spark, tmp_path):
     assert envs["http://h1.example/"]["links"] == ["http://h1.example/a"]
     assert envs["http://h1.example/a"]["links"] == []
     assert envs["http://h1.example/a"]["n_bytes"] > 0
+
+
+def test_cdx_cli_verbs(spark, tmp_path, archive, capsys):
+    """The `cdx` (build) and `cdx-lookup` (query) CLI verbs end-to-end
+    over a TableIO state carrying a warc_index table."""
+    from shaman_scraping_spark.cli import main
+    from shaman_scraping_spark.io.tableio import TableIO
+
+    out, pdf = archive
+    state = tmp_path / "state"
+    TableIO(spark, str(state)).commit(
+        "warc_index", spark.createDataFrame(pdf), 0, mode="append"
+    )
+    cdx_path = tmp_path / "cdx"
+    assert main(["cdx", "--state", str(state),
+                 "--output", str(cdx_path)]) == 0
+    assert "4 index rows" in capsys.readouterr().out
+
+    assert main(["cdx-lookup", "--cdx", str(cdx_path),
+                 "--url", "http://h2.example/c"]) == 0
+    got = capsys.readouterr().out
+    assert "example,h2)/c" in got and "response" in got
+
+    assert main(["cdx-lookup", "--cdx", str(cdx_path),
+                 "--url", "http://h1.example/", "--prefix"]) == 0
+    got = capsys.readouterr().out
+    assert "example,h1)/" in got and "example,h1)/a" in got
