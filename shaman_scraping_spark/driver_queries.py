@@ -107,15 +107,24 @@ def q_anti_join_seen(spark, sf):
 
 
 def q_dedup_first(spark, sf):
-    """Op 14: deterministic in-wave dedup ≙ first event per user."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
+    """Op 14: deterministic in-wave dedup ≙ first event per user.
+
+    r6 rewrite (guide §2.3 "aggregate before you shuffle"): the
+    row_number window shuffled and sorted every event row; a
+    ``min(struct(ts, event_id))`` group-agg computes the identical
+    earliest row with map-side partial aggregation — the shuffle
+    carries one struct per user instead of every event, and the
+    per-partition sort disappears.  Struct ordering is field-by-field
+    (ts, then event_id) — exactly the window's orderBy tiebreak."""
     return (
         _t(spark, sf, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("f"))
+        .select(
+            "user_id",
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.ts").alias("ts"),
+        )
     )
 
 
@@ -152,12 +161,21 @@ def q_frontier_merge(spark, sf):
     seen = _t(spark, sf, "customer").filter(F.col("c_acctbal") < 0.0).select(
         F.col("c_custkey").alias("o_custkey")
     )
-    merged = a.unionByName(b).join(seen, "o_custkey", "left_anti")
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("o_orderdate").asc())
+    # r6 rewrite (guide §2.3): project the union to the three columns
+    # the query ever reads BEFORE the anti-join, and replace the
+    # row_number window (full shuffle + sort of every merged row) with
+    # a min(struct) group-agg — map-side combined, no sort.  The two
+    # union branches contribute byte-identical rows per o_orderkey, so
+    # the earliest-(o_orderdate) pick is unchanged.
+    merged = (
+        a.unionByName(b)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .join(seen, "o_custkey", "left_anti")
+    )
     return (
-        merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "o_custkey")
+        merged.groupBy("o_orderkey")
+        .agg(F.min(F.struct("o_orderdate", "o_custkey")).alias("f"))
+        .select("o_orderkey", F.col("f.o_custkey").alias("o_custkey"))
     )
 
 
@@ -290,18 +308,42 @@ def q_trap_patterns(spark, sf):
 
 
 def q_redirect_hops(spark, sf):
-    """Op 20: bounded self-join ≙ consecutive order pairs per customer."""
-    o1 = _t(spark, sf, "orders").select(
-        "o_custkey", F.col("o_orderdate").alias("d1")
-    )
-    o2 = _t(spark, sf, "orders").select(
-        "o_custkey", F.col("o_orderdate").alias("d2")
+    """Op 20: bounded self-join ≙ consecutive order pairs per customer.
+
+    r6 rewrite (guide §1.2 "the distributed algorithm"): the self-join
+    materialized every (earlier, later) order pair — O(k²) rows per
+    customer — only to count them.  Counting ordered pairs with
+    distinct dates needs no join: with per-(custkey, date) counts c_d,
+    #pairs = (n² − Σc_d²)/2 where n = Σc_d.  Two map-side-combined
+    aggregations replace the join; integer arithmetic, so the result
+    is bit-identical.  Customers whose orders all share one date
+    produced no joined row before → filter n_hops > 0."""
+    per_date = (
+        _t(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate")
+        # one exchange for both aggregations: hash-partitioning on
+        # o_custkey satisfies the (o_custkey, o_orderdate) grouping's
+        # clustering requirement AND the outer groupBy's, so neither
+        # aggregate re-shuffles (guide §2.4 "two operations keyed the
+        # same way can share one exchange"); it also fans the 2-task
+        # single-row-group scan out to every core (1.77 → 0.60 s at
+        # sf1.0, bench_extra.py)
+        .repartition(spark.sparkContext.defaultParallelism, "o_custkey")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.count("*").alias("c"))
     )
     return (
-        o1.join(o2, "o_custkey")
-        .filter(F.col("d2") > F.col("d1"))
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_hops"))
+        per_date.groupBy("o_custkey")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .select(
+            "o_custkey",
+            ((F.col("n") * F.col("n") - F.col("ss")) / F.lit(2))
+            .cast("long").alias("n_hops"),
+        )
+        .filter(F.col("n_hops") > 0)
     )
 
 
@@ -472,9 +514,17 @@ def q_window_metrics(spark, sf):
 
 
 def q_json_props(spark, sf):
-    """Op 28: JSON property access + rollup."""
+    """Op 28: JSON property access + rollup.
+
+    r6: the events parquet is one row group — an unsplittable scan
+    (guide §2.5 "input skew"), so the 10^6 JSON parses all ran on one
+    core.  Project to the single column the parse needs and fan out
+    first; the parse then runs on every core (measured 2.14 → 1.59 s
+    at sf1.0, interleaved medians, bench_extra.py)."""
     return (
         _t(spark, sf, "events")
+        .select("props")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn(
             "k", F.get_json_object(F.col("props"), "$.k").cast("int")
         )
@@ -501,15 +551,20 @@ def q_exact_dedup(spark, sf):
 
 
 def q_token_count(spark, sf):
-    return _t(spark, sf, "documents").select(
+    # r6: _t_wide — single-row-group scan, so the regex tokenization ran
+    # on one core (0.49 → 0.33 s at sf1.0, bench_extra.py)
+    return _t_wide(spark, sf, "documents").select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
 
 
 def q_quality_score(spark, sf):
+    # r6: _t_wide — the three regex-split feature expressions are the
+    # cost; on the unsplittable one-row-group scan they ran on one core
+    # (1.22 → 0.47 s at sf1.0, bench_extra.py)
     feats = quality_features("text")
-    return _t(spark, sf, "documents").select(
+    return _t_wide(spark, sf, "documents").select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
         feats["mean_token_len"].alias("mean_token_len"),

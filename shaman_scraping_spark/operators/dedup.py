@@ -223,25 +223,50 @@ def minhash_neardup_pairs(
     Output (id_a, id_b, est_jaccard).  Estimated similarity = fraction
     of matching MinHash components (the standard unbiased estimator).
     """
+    # r6 restructure (guide §2.4 "remove shuffles outright"): the old
+    # shape built candidate pairs first and then re-joined the
+    # signature table twice to verify — four full evaluations of the
+    # explode+groupBy signature subtree (banded a/b + verify a/b) and
+    # two extra shuffle joins.  Carrying the whole signature THROUGH
+    # the band self-join (16 longs per banded row — cheap next to the
+    # re-computation) verifies in the same join: two signature
+    # evaluations, and the candidate-dedup distinct doubles as the
+    # output distinct.  est_jaccard is a pure function of the pair's
+    # signatures, so distinct over (id_a, id_b, est_jaccard) yields
+    # exactly the old pair set with the old estimates.
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
-    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
-    a = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perm)],
-    )
-    b = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perm)],
-    )
+    rows = num_perm // bands
+    band_exprs = []
+    for bd in range(bands):
+        cols = [F.col(f"h{bd * rows + r}") for r in range(rows)]
+        band_exprs.append(
+            F.struct(F.lit(bd).alias("band_id"),
+                     F.xxhash64(*cols).alias("band_hash"))
+        )
+    banded = sig.select(
+        F.col(id_col),
+        F.struct(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        F.explode(F.array(*band_exprs)).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        F.when(F.col(f"a.sig.h{i}") == F.col(f"b.sig.h{i}"), 1).otherwise(0)
         for i in range(num_perm)
     )
     return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .withColumn("est_jaccard", matches / F.lit(float(num_perm)))
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -251,29 +276,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (token-level, unweighted).
 
     bit b of the hash = majority vote of bit b over xxhash64(token)
-    for all tokens.  64 conditional sums in one aggregation — wide but
-    single-shuffle, fully JVM-side.
+    for all tokens.
+
+    r6 shape (guide §2.4 — remove shuffles outright): the votes
+    accumulate per ROW through a higher-order ``aggregate`` over the
+    token-hash array — a doc's whole signature is a pure per-row
+    expression, so the build has NO explode, NO shuffle and no
+    grouping state at all (the old shape exploded every token and ran
+    a 64-column conditional-sum groupBy).  Bit-identical output
+    (equality-tested against the explode build at sf0.1): the vote
+    counts are the same sums, and docs with zero tokens — which the
+    explode dropped — are filtered explicitly.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
-                   1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    votes = ex.groupBy(id_col).agg(*aggs)
+    ths = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        ths,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)).cast("long")
+                for b in range(64)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
     acc = F.lit(0).cast("long")
     for bit in range(64):
         # bit 63 is the sign bit of a signed long
         mask = (1 << bit) if bit < 63 else -(1 << 63)
         acc = acc.bitwiseOR(
-            F.when(F.col(f"v{bit}") > 0, F.lit(mask).cast("long"))
+            F.when(F.element_at(F.col("__v"), bit + 1) > 0,
+                   F.lit(mask).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
-    return votes.select(F.col(id_col), acc.alias("simhash"))
+    return (
+        df.filter(F.size(tokens_col(text_col)) > 0)
+        .withColumn("__v", votes)
+        .select(F.col(id_col), acc.alias("simhash"))
+    )
 
 
 def simhash_neardup_pairs(

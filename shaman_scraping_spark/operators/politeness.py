@@ -190,6 +190,17 @@ def build_host_state(
     """
     from pyspark.sql import Window
 
+    if "url" in pages.columns:
+        # r6 (guide §6 — make the predicate reach the scan): the exact
+        # filter below tests the COMPUTED url_canon, so the scan would
+        # otherwise evaluate the canonicalization expression on every
+        # corpus row just to find the handful of robots pages.  A
+        # canonical URL equal to scheme://host/robots.txt preserves its
+        # raw path bytes, so the raw url must contain the literal
+        # "/robots.txt" — a pushdown-friendly superset prefilter on a
+        # source column; the exact predicate then runs on the survivors
+        # only.  Results are identical (strict superset).
+        pages = pages.filter(F.col("url").contains("/robots.txt"))
     robots_rows = pages.filter(
         F.col("url_canon").endswith("/robots.txt")
         & (

@@ -107,6 +107,54 @@ def _path_bytes(p: Path) -> int:
     return p.stat().st_size if p.exists() else 0
 
 
+def canonical_pages(spark: SparkSession, pages_path: str,
+                    pages_partitions: int | None = None) -> DataFrame:
+    """The raw corpus with URL columns stamped — the lazy prologue of
+    :func:`load_canonical_corpus` (no Spark action)."""
+    src = local_path(pages_path) if pages_partitions else None
+    if pages_partitions and src is not None:
+        total = _path_bytes(src)
+        tgt = max(4 << 20, total // pages_partitions)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+    raw = spark.read.parquet(pages_path)
+    return with_url_columns(raw)
+
+
+def collapse_duplicate_canon(pages: DataFrame) -> DataFrame:
+    """Collapse duplicate-canonical captures to the earliest one.
+
+    Winner = earliest (warc_ts, url) per canonical URL, so a
+    RECRAWL — two captures of the same url string — collapses to
+    the earliest capture.  The semi-join keys on a per-row id
+    (NOT the natural key): two BYTE-IDENTICAL captures share
+    (url_canon, url, warc_ts), so a natural-key semi-join keeps
+    both and duplicates every downstream fetched row (ADVICE.md
+    r2).  monotonically_increasing_id is partition-offset-based —
+    deterministic for a parquet read under fixed splits, and
+    recomputed identically on both join branches (same lineage).
+    xxhash64(html) precedes __rid in the tiebreak so the winner
+    among same-key captures is content-deterministic; only the
+    skinny key columns + two hashes cross the window shuffle —
+    html itself never does.  Matches the simulator's by_canon
+    min-(ts, url) rule.
+    """
+    pages = pages.withColumn("__rid", F.monotonically_increasing_id())
+    w = Window.partitionBy("url_canon").orderBy(
+        F.col("warc_ts").asc(), F.col("url").asc(),
+        F.col("__h").asc(), F.col("__rid").asc(),
+    )
+    winners = (
+        pages.select(
+            "url_canon", "url", "warc_ts", "__rid",
+            F.xxhash64("html").alias("__h"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__rid")
+    )
+    return pages.join(winners, "__rid", "left_semi").drop("__rid")
+
+
 def load_canonical_corpus(spark: SparkSession, pages_path: str,
                           pages_partitions: int | None = None) -> DataFrame:
     """Canonicalized, unique-per-canonical-URL pages corpus, persisted.
@@ -116,46 +164,12 @@ def load_canonical_corpus(spark: SparkSession, pages_path: str,
     (earliest capture wins) runs on a skinny projection + semi-join,
     and only when duplicates actually exist.
     """
-    src = local_path(pages_path) if pages_partitions else None
-    if pages_partitions and src is not None:
-        total = _path_bytes(src)
-        tgt = max(4 << 20, total // pages_partitions)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
-    raw = spark.read.parquet(pages_path)
-    pages = with_url_columns(raw)
+    pages = canonical_pages(spark, pages_path, pages_partitions)
     tot, dist = pages.agg(
         F.count("*"), F.count_distinct("url_canon")
     ).first()
     if tot != dist:
-        # Winner = earliest (warc_ts, url) per canonical URL, so a
-        # RECRAWL — two captures of the same url string — collapses to
-        # the earliest capture.  The semi-join keys on a per-row id
-        # (NOT the natural key): two BYTE-IDENTICAL captures share
-        # (url_canon, url, warc_ts), so a natural-key semi-join keeps
-        # both and duplicates every downstream fetched row (ADVICE.md
-        # r2).  monotonically_increasing_id is partition-offset-based —
-        # deterministic for a parquet read under fixed splits, and
-        # recomputed identically on both join branches (same lineage).
-        # xxhash64(html) precedes __rid in the tiebreak so the winner
-        # among same-key captures is content-deterministic; only the
-        # skinny key columns + two hashes cross the window shuffle —
-        # html itself never does.  Matches the simulator's by_canon
-        # min-(ts, url) rule.
-        pages = pages.withColumn("__rid", F.monotonically_increasing_id())
-        w = Window.partitionBy("url_canon").orderBy(
-            F.col("warc_ts").asc(), F.col("url").asc(),
-            F.col("__h").asc(), F.col("__rid").asc(),
-        )
-        winners = (
-            pages.select(
-                "url_canon", "url", "warc_ts", "__rid",
-                F.xxhash64("html").alias("__h"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__rid")
-        )
-        pages = pages.join(winners, "__rid", "left_semi").drop("__rid")
+        pages = collapse_duplicate_canon(pages)
     return pages
 
 
@@ -191,6 +205,20 @@ class CrawlEngine:
         state_dir: str,
         record_emission: bool = False,
     ):
+        import sys
+        import time as _time
+
+        _prof = os.environ.get("SSSPARK_PROFILE") == "1"
+        _last = _time.monotonic()
+
+        def _t(label: str) -> None:
+            nonlocal _last
+            if _prof:
+                now = _time.monotonic()
+                print(f"[init] {label}: {now - _last:.2f}s",
+                      file=sys.stderr, flush=True)
+                _last = now
+
         self.spark = spark
         self.config = config
         if config.warc_dir and not config.archive_html:
@@ -290,9 +318,7 @@ class CrawlEngine:
         # and saved ~12 s/scan; a parquet re-scan with column pruning
         # scales with cores instead.  Only a SKINNY metadata projection
         # persists (keys for anti-joins, hosts for politeness).
-        self.pages = load_canonical_corpus(
-            spark, pages_path, config.pages_partitions
-        )
+        _t("guards")
         if config.fetch_join not in ("auto", "broadcast", "bucketed"):
             raise ValueError(f"unknown fetch_join: {config.fetch_join}")
         self.fetch_join = config.fetch_join
@@ -311,6 +337,33 @@ class CrawlEngine:
                 and _path_bytes(src) <= config.fetch_join_broadcast_max_bytes
                 else "bucketed"
             )
+        if self.fetch_join == "broadcast" and not config.corpus_buckets:
+            # r6 single-scan init (guide §1.2 — remove unnecessary
+            # passes): the old order ran the duplicate-canonical probe
+            # agg over the RAW corpus (full canonicalization pass) and
+            # then pinned the skinny meta projection in a SECOND
+            # canonicalization pass.  Pinning first and probing the
+            # pinned leaf scan computes the same (tot, dist) —
+            # pages_meta has exactly the corpus rows — for one corpus
+            # pass plus a cheap skinny-scan agg; tot comes free from
+            # the written parquet footers.  The (rare) duplicate-canon
+            # corpus pays one extra collapse + re-pin, as before.
+            pages = canonical_pages(spark, pages_path,
+                                    config.pages_partitions)
+            meta = self._pin("pages_meta", pages.drop("html", "text"))
+            tot = TableIO._dir_row_count(
+                self.state_dir / "_dims" / "pages_meta")
+            dist = meta.agg(F.count_distinct("url_canon")).first()[0]
+            if tot != dist:
+                pages = collapse_duplicate_canon(pages)
+                meta = self._pin("pages_meta", pages.drop("html", "text"))
+            self.pages = pages
+            self.pages_meta = meta
+        else:
+            self.pages = load_canonical_corpus(
+                spark, pages_path, config.pages_partitions
+            )
+        _t("canonical-corpus")
         if self.fetch_join == "bucketed":
             # corpus_buckets COMPOSES here (VERDICT r2 item 2): the
             # bucketBy join table is additionally hive-partitioned by
@@ -334,18 +387,24 @@ class CrawlEngine:
             )
         elif config.corpus_buckets:
             self.pages = self._bucketize_corpus(config.corpus_buckets)
-        self.pages_meta = self.pages.drop("html", "text")
-        if self.fetch_join == "broadcast":
-            # broadcast mode keeps the raw corpus plan (canonicalization
-            # expression tree over the parquet scan) — pin the skinny
-            # projection so per-wave plans embed a leaf scan instead
-            # (bucketed mode reads a materialized table already)
-            self.pages_meta = self._pin("pages_meta", self.pages_meta)
+        if not hasattr(self, "pages_meta"):
+            self.pages_meta = self.pages.drop("html", "text")
+            if self.fetch_join == "broadcast":
+                # broadcast mode keeps the raw corpus plan
+                # (canonicalization expression tree over the parquet
+                # scan) — pin the skinny projection so per-wave plans
+                # embed a leaf scan instead (bucketed mode reads a
+                # materialized table already)
+                self.pages_meta = self._pin("pages_meta", self.pages_meta)
+        # no eager .count() here (r6): the pin already materialized the
+        # projection to parquet — the expensive part; the persist cache
+        # fills lazily on the robots-dim build below, saving one init
+        # Spark job per engine
         self.pages_meta = self.pages_meta.persist()
+        _t("fetch-join-setup")
         # robots dimension parsed once for every corpus host (tiny);
         # per-wave host_state growth joins against this, so the pandas
         # UDF parse never re-runs inside the wave loop.
-        self.pages_meta.count()  # materialize meta before dependents
         corpus_hosts = self.pages_meta.select("host").distinct()
         self.robots_dim = self._pin(
             "robots_dim",
@@ -354,7 +413,7 @@ class CrawlEngine:
                 config.user_agent,
             ),
         ).persist()
-        self.robots_dim.count()
+        _t("robots-dim")
         # sitemap dimension (op 49, spec in sources/sitemap.py): built
         # ONCE at init like the robots dim — (host, sm_src, url) rows
         # of every <loc> a host's robots-declared sitemaps list, with
@@ -370,7 +429,6 @@ class CrawlEngine:
             self.sitemap_dim = self._pin(
                 "sitemap_dim", build_sitemap_dim(self.pages)
             ).persist()
-            self.sitemap_dim.count()
         else:
             self.sitemap_dim = None
         # the wave loop's single Python boundary (redirect+text+links
@@ -439,7 +497,7 @@ class CrawlEngine:
             self.redirect_closure = self._pin(
                 "redirect_closure", closure
             ).persist()
-            self.redirect_closure.count()
+            _t("redirect-closure")
         else:
             self.redirect_closure = None
 
