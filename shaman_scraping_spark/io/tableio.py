@@ -528,6 +528,19 @@ class TableIO:
             # schema — project to this table's true columns (parquet
             # column resolution is name-based, so chains mixing plain
             # and multi dirs read fine either way)
+            if not set(m["columns"]) <= set(df.columns):
+                # an append chain can mix PRE-UPGRADE dirs lacking a
+                # newly added column (e.g. warc_index gained digest/
+                # record_type) with new dirs that have it; plain
+                # parquet infers the schema from one sampled footer,
+                # so sampling an old file would make the projection
+                # below raise — and otherwise silently read the new
+                # column only where present.  mergeSchema resolves the
+                # union schema across all footers (ADVICE r5 medium);
+                # only paid on the rare mixed-chain resume.
+                df = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(*paths)
             df = df.select(*m["columns"])
         return df
 

@@ -1622,7 +1622,23 @@ class CrawlEngine:
             wave_dir.mkdir(parents=True, exist_ok=True)
             prior_digests = None
             if cfg.warc_dedup:
-                prior_idx = self.io.load("warc_index")
+                # prior = newest warc_index manifest STRICTLY before
+                # this wave (ADVICE r5 high): a crashed attempt of THIS
+                # wave may already have committed warc_index at `wave`;
+                # reading "latest" back as prior would demote every
+                # re-fetched payload to a revisit pointing at response
+                # records whose wave dir was just rmtree'd — the
+                # payload would be lost from the archive.  Manifests
+                # must chain only from waves strictly before the
+                # current one (same rule as _load_due_retries /
+                # _load_trap_dim; the streaming leg already guards
+                # this replay hazard explicitly).
+                prior_m = self.io._newest_manifest_before(
+                    "warc_index", wave)
+                prior_idx = (
+                    self.io.load("warc_index", prior_m["wave"])
+                    if prior_m is not None else None
+                )
                 if prior_idx is not None and "digest" in prior_idx.columns:
                     prior_digests = prior_idx.filter(
                         F.col("record_type") == "response"

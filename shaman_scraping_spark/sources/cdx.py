@@ -86,9 +86,19 @@ def cdx_prefix(spark: SparkSession, path: str, url_prefix: str) -> DataFrame:
     pruning applies, unlike a LIKE on an unsorted layout."""
     lo = surt_key_py(url_prefix)
     hi = lo + "￿"
+    # range for pruning + startswith for exactness (ADVICE r5 low):
+    # Spark compares strings by unsigned UTF-8 bytes, and U+FFFF
+    # encodes EF BF BF — BELOW the F0-xx lead byte of supplementary-
+    # plane codepoints, so a urlkey whose first char after the prefix
+    # is astral would escape the half-open range.  startswith keeps
+    # the result exact; the sargable range still drives file/row-group
+    # pruning.
     return (
         spark.read.parquet(path)
-        .filter((F.col("urlkey") >= lo) & (F.col("urlkey") < hi))
+        .filter(
+            (F.col("urlkey") >= lo)
+            & F.col("urlkey").startswith(lo)
+        )
         .orderBy("urlkey", "warc_ts")
     )
 
