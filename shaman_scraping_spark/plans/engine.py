@@ -337,6 +337,30 @@ class CrawlEngine:
                 and _path_bytes(src) <= config.fetch_join_broadcast_max_bytes
                 else "bucketed"
             )
+        if config.pages_partitions is None:
+            # documented default (config.py): size read splits from the
+            # CORPUS, not a constant — the session's 32 MB default
+            # leaves a small corpus (e.g. the 20k-page bench file, one
+            # 3.9 MB file of 10 row groups) as ONE unsplittable scan
+            # task, serializing every wave's fetch-join + extraction
+            # UDF leg onto one core (guide §2.5 "input skew").
+            # total/(4·parallelism) targets ~4 waves of scan tasks per
+            # core; clamped to [1 MB, session default] so a large
+            # corpus keeps the measured 32 MB pipelining granularity
+            # and tiny corpora don't explode into per-kilobyte tasks.
+            src0 = local_path(pages_path)
+            if src0 is not None:
+                total0 = _path_bytes(src0)
+                try:
+                    cur = int(spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes"))
+                except (TypeError, ValueError):
+                    cur = 128 << 20
+                par = spark.sparkContext.defaultParallelism
+                tgt0 = max(1 << 20, total0 // max(1, 4 * par))
+                if tgt0 < cur:
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", str(tgt0))
         if self.fetch_join == "broadcast" and not config.corpus_buckets:
             # r6 single-scan init (guide §1.2 — remove unnecessary
             # passes): the old order ran the duplicate-canonical probe
@@ -406,14 +430,27 @@ class CrawlEngine:
         # per-wave host_state growth joins against this, so the pandas
         # UDF parse never re-runs inside the wave loop.
         corpus_hosts = self.pages_meta.select("host").distinct()
-        self.robots_dim = self._pin(
-            "robots_dim",
-            build_host_state(
-                self.pages, corpus_hosts, config.default_crawl_delay,
-                config.user_agent,
-            ),
-        ).persist()
-        _t("robots-dim")
+        # the wave loop's single Python boundary (redirect+text+links
+        # in one Arrow pass over the fat html column)
+        self.process_udf = make_process_html_udf(config.link_patterns)
+        # Init dimension builds (robots / sitemap / raw redirect map)
+        # are INDEPENDENT corpus passes — run their pin jobs as
+        # concurrent driver-thread jobs (guide §2.6 "overlap
+        # independent jobs"): wall ≈ max(pass), not Σ(pass).  Only the
+        # closure join below depends on robots, and it runs over two
+        # already-pinned tiny leaf scans.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _build_robots():
+            return self._pin(
+                "robots_dim",
+                build_host_state(
+                    self.pages, corpus_hosts, config.default_crawl_delay,
+                    config.user_agent,
+                ),
+            ).persist()
+
+        init_jobs = {"robots": _build_robots}
         # sitemap dimension (op 49, spec in sources/sitemap.py): built
         # ONCE at init like the robots dim — (host, sm_src, url) rows
         # of every <loc> a host's robots-declared sitemaps list, with
@@ -426,14 +463,12 @@ class CrawlEngine:
                 build_sitemap_dim,
             )
 
-            self.sitemap_dim = self._pin(
-                "sitemap_dim", build_sitemap_dim(self.pages)
-            ).persist()
-        else:
-            self.sitemap_dim = None
-        # the wave loop's single Python boundary (redirect+text+links
-        # in one Arrow pass over the fat html column)
-        self.process_udf = make_process_html_udf(config.link_patterns)
+            def _build_sitemap():
+                return self._pin(
+                    "sitemap_dim", build_sitemap_dim(self.pages)
+                ).persist()
+
+            init_jobs["sitemap"] = _build_sitemap
         # redirect map (src → target), built ONCE at init so in-wave
         # hop chains resolve as bounded lazy joins — never an extra
         # per-wave corpus scan or Spark action (SURVEY.md §2C op 20).
@@ -460,8 +495,20 @@ class CrawlEngine:
                 .select(F.col("url_canon").alias("src_canon"),
                         F.col("rt").alias("url"))
             )
+
+            def _build_redirect_map():
+                return self._pin("redirect_map", raw_map)
+
+            init_jobs["redirect_map"] = _build_redirect_map
+        with ThreadPoolExecutor(max_workers=len(init_jobs)) as pool:
+            futs = {n: pool.submit(fn) for n, fn in init_jobs.items()}
+            dims = {n: f.result() for n, f in futs.items()}
+        self.robots_dim = dims["robots"]
+        self.sitemap_dim = dims.get("sitemap")
+        _t("robots-dim")
+        if config.max_redirect_hops > 0:
             base = apply_robots_filter(
-                with_url_columns(raw_map)
+                with_url_columns(dims["redirect_map"])
                 .filter(static_scope_predicate(config)),
                 self.robots_dim.select("host", "rules"),
             ).select("src_canon", "url_canon", "url_hash", "host",
@@ -1068,8 +1115,14 @@ class CrawlEngine:
             host_state = host_state.persist()
             wave_persists.append(host_state)
 
-        # 2. robots gate → 3. per-host top-k under quota
-        fr = apply_robots_filter(frontier, host_state)
+        # 2. robots gate → 3. per-host top-k under quota.  fr is
+        # persisted (r6): both the eligible branch (→ ranked, its own
+        # persist) and the blocked branch (→ seen delta, read by the
+        # commit jobs) derive from it — without the persist the
+        # robots pandas-UDF stage ran a second time per wave inside
+        # the state-commit job just to recompute `blocked`.
+        fr = apply_robots_filter(frontier, host_state).persist()
+        wave_persists.append(fr)
         blocked = fr.filter(~F.col("allowed"))
         eligible = fr.filter(F.col("allowed")).join(
             F.broadcast(host_state.select("host", "quota")), "host"
