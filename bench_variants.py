@@ -152,3 +152,79 @@ def q_redirect_hops_onex(spark, sf):
         )
         .filter(F.col("n_hops") > 0)
     )
+
+
+def q_anti_join_seen_bcast(spark, sf):
+    cust = _t(spark, sf, "customer")
+    seen = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(F.broadcast(seen), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_stats_cube_wide(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_ann_topk_wide(spark, sf):
+    from shaman_scraping_spark.operators.similarity import cosine_topk
+    emb = _t_wide(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, q, k=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank"
+    )
+
+
+def q_minhash_neardup_innerexplode(spark, sf):
+    """minhash with the pre-r6 INNER explode in signatures (A/B probe
+    for the _explode_expensive change)."""
+    from shaman_scraping_spark.operators.dedup import shingles_col
+    df = _t_wide(spark, sf, "documents")
+    id_col, text_col, num_perm, bands, threshold = "doc_id", "text", 16, 4, 0.5
+    ex = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, 3)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    rows = num_perm // bands
+    band_exprs = []
+    for bd in range(bands):
+        cols = [F.col(f"h{bd * rows + r}") for r in range(rows)]
+        band_exprs.append(F.struct(F.lit(bd).alias("band_id"),
+                                   F.xxhash64(*cols).alias("band_hash")))
+    banded = sig.select(
+        F.col(id_col),
+        F.struct(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        F.explode(F.array(*band_exprs)).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.sig.h{i}") == F.col(f"b.sig.h{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (matches / F.lit(16.0)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )

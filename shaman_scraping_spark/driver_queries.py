@@ -367,9 +367,14 @@ def q_dup_lines(spark, sf):
     duplicated lines — explode → DISTINCT (line, doc) → count, both
     shuffles map-side combined.  Lines ≙ 2-word chunks here (the
     synthetic corpus has no newlines); the real operator splits \\n."""
+    # explode_outer + isNotNull (r6): an inner explode infers a
+    # size(chunks)>0 filter pushed below the fan-out exchange, so the
+    # chunking expression would run twice — once on the single-task
+    # scan (see operators/dedup._explode_expensive)
     pairs = (
         _t_wide(spark, sf, "documents")
-        .select("doc_id", F.explode(_word_chunks()).alias("line"))
+        .select("doc_id", F.explode_outer(_word_chunks()).alias("line"))
+        .filter(F.col("line").isNotNull())
         .distinct()
     )
     return (
@@ -384,7 +389,9 @@ def q_repetition_filter(spark, sf):
     shapes): Gopher-style per-document repetition stats — duplicate-
     line fraction plus the most-frequent-token count."""
     docs = _t_wide(spark, sf, "documents")
-    lines = docs.select("doc_id", F.explode(_word_chunks()).alias("line"))
+    lines = docs.select(
+        "doc_id", F.explode_outer(_word_chunks()).alias("line")
+    ).filter(F.col("line").isNotNull())
     per_line = (
         lines.groupBy("doc_id")
         .agg(
@@ -538,15 +545,17 @@ def q_json_props(spark, sf):
 # ---------------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf):
-    """Exact dedup: keeper doc per (lang, first word) bucket."""
+    """Exact dedup: keeper doc per (lang, first word) bucket.
+
+    r6 (guide §2.3): keeper = min doc_id per group is literally a
+    min aggregate — map-side combined, no per-group sort (the window
+    shuffled and sorted every doc row)."""
     docs = _t(spark, sf, "documents").withColumn(
         "word1", F.split_part(F.col("text"), F.lit(" "), F.lit(1))
     )
-    w = Window.partitionBy("lang", "word1").orderBy(F.col("doc_id").asc())
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", "word1", F.col("doc_id").alias("keeper"))
+        docs.groupBy("lang", "word1")
+        .agg(F.min("doc_id").alias("keeper"))
     )
 
 
@@ -625,8 +634,13 @@ def q_boilerplate(spark, sf):
 
 def q_ann_topk(spark, sf):
     """Brute-force cosine top-5 for one query vector (ids+rank only —
-    float sims differ across engines in the last ulp)."""
-    emb = _t(spark, sf, "embeddings")
+    float sims differ across engines in the last ulp).
+
+    r6: _t_wide — the cosine higher-order aggregates otherwise run on
+    the one-row-group scan's single task (0.86 → 0.62 s at sf1.0);
+    per-row float math is partition-independent, so results are
+    unchanged."""
+    emb = _t_wide(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -656,10 +670,19 @@ def q_doc_fingerprint(spark, sf):
     posexplode keeps the within-fingerprint order observable."""
     from shaman_scraping_spark.functions.text import doc_fingerprint
 
+    # prefilter + posexplode_outer (r6): the inner posexplode's
+    # inferred size(fp)>0 filter was pushed below the repartition,
+    # evaluating the whole winnowing expression twice — once on the
+    # unsplittable single-task scan (measured 26.5 → 1.8 s at sf1.0).
+    # trim(text) != '' guarantees ≥1 shingle → ≥1 fingerprint entry,
+    # so the outer explode emits exactly the inner explode's rows.
     return (
         _t_wide(spark, sf, "documents")
+        .filter(F.trim(F.col("text")) != "")
         .select("doc_id", doc_fingerprint("text", k=4, keep=4).alias("fp"))
-        .select("doc_id", F.posexplode("fp").alias("fp_pos", "fp_hash"))
+        .select(
+            "doc_id", F.posexplode_outer("fp").alias("fp_pos", "fp_hash")
+        )
     )
 
 

@@ -30,6 +30,26 @@ def tokens_col(text_col: str = "text"):
     return F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(c)
 
 
+def _explode_expensive(arr, alias: str):
+    """``explode_outer(arr).alias(alias)`` — the explode to use when
+    *arr* is an expensive expression (shingling, chunking, hashing).
+
+    Why (r6, measured 26.5 → 1.8 s on the doc_fingerprint query at
+    sf1.0): a plain (inner) ``explode`` lets the optimizer infer a
+    ``size(arr) > 0`` filter and push it toward the scan — BELOW any
+    fan-out repartition — so the whole array expression is evaluated
+    TWICE, once of those on the unsplittable pre-shuffle side (guide
+    §4.4's duplicated-evaluation trap, in pure-Catalyst form).  The
+    OUTER explode carries no such constraint; callers re-drop the
+    empty-array rows with ``.filter(col(alias).isNotNull())`` ON THE
+    GENERATED COLUMN, which cannot be pushed below the Generate.
+    Equivalent to inner explode whenever array ELEMENTS are never
+    null — true for every tokenizer/shingler here (split/array_join
+    never yield null elements).
+    """
+    return F.explode_outer(arr).alias(alias)
+
+
 def shingles_col(text_col: str = "text", k: int = 3):
     """Word k-shingles as strings ('w1 w2 w3'); docs shorter than k get
     one shingle of all their words."""
@@ -66,7 +86,8 @@ def boilerplate_shingles(
     """
     pairs = (
         df.select(F.col(id_col).alias("__doc"),
-                  F.explode(shingles_col(text_col, k)).alias("shingle"))
+                  _explode_expensive(shingles_col(text_col, k), "shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     return (
@@ -95,8 +116,8 @@ def dup_lines(
     """
     pairs = (
         df.select(F.col(id_col).alias("__doc"),
-                  F.explode(F.split(F.col(text_col), "\n")).alias("line"))
-        .filter(F.trim(F.col("line")) != "")
+                  _explode_expensive(F.split(F.col(text_col), "\n"), "line"))
+        .filter(F.col("line").isNotNull() & (F.trim(F.col("line")) != ""))
         .distinct()
     )
     return (
@@ -167,8 +188,9 @@ def minhash_signatures(
     computed JVM-side; the min-agg combines map-side.
     """
     ex = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_k)).alias("sh")
-    )
+        F.col(id_col),
+        _explode_expensive(shingles_col(text_col, shingle_k), "sh"),
+    ).filter(F.col("sh").isNotNull())
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
@@ -416,14 +438,33 @@ def ngram_jaccard_pairs(
     """
     keep = [id_col] + ([group_col] if group_col else [])
     ex = (
-        df.select(*keep, F.explode(shingles_col(text_col, k)).alias("sh"))
+        df.select(*keep, _explode_expensive(shingles_col(text_col, k), "sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # r6 restructure (guide §2.4): the old shape evaluated the
+    # explode+distinct index FIVE times — the join's a/b sides, the
+    # per-doc sizes dim twice (joined back on id_a and id_b), and the
+    # hot-shingle dim — each a full shingling pass plus its own
+    # shuffles.  Carrying the per-doc set size as a WINDOW count over
+    # the one index (bounded partitions: a document's own shingle
+    # count) makes the join output self-contained: sizes ride into the
+    # pair aggregate as min() (constant within a pair side), and the
+    # two join sides are identical subplans whose final exchange
+    # Spark's ReuseExchange computes once.  The hot-shingle document
+    # frequency deliberately STAYS a map-side-combinable agg +
+    # anti-join, NOT a per-shingle window — a boilerplate shingle with
+    # 10^6 postings must collapse before the shuffle, never funnel
+    # through one window task.  Values are unchanged: sizes are still
+    # computed BEFORE the max_df prune (the window sits below the
+    # anti-join), the intersection count after — the documented
+    # lower-bound semantics.
+    from pyspark.sql import Window
+
+    ex = ex.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy(id_col))
+    )
     if max_df is not None:
-        # document frequency per shingle (within group if grouped) —
-        # one extra hash-agg on the already-exploded index, map-side
-        # combined; hot shingles never reach the join
         df_cols = (["sh", group_col] if group_col else ["sh"])
         hot = (
             ex.groupBy(*df_cols)
@@ -437,19 +478,17 @@ def ngram_jaccard_pairs(
     if group_col:
         join_cond.append(F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    return (
         a.join(b, join_cond)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a")
-                   .withColumnRenamed("n_sh", "na"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b")
-              .withColumnRenamed("n_sh", "nb"), "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.min(F.col("a.n_sh")).alias("na"),
+            F.min(F.col("b.n_sh")).alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
