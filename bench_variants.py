@@ -228,3 +228,164 @@ def q_minhash_neardup_innerexplode(spark, sf):
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
+
+
+def _minhash_sig_per_row(text_col="text", num_perm=16, shingle_k=3):
+    """Per-row MinHash signature: one aggregate pass over the shingle
+    array, 16-long min accumulator — no explode, no shuffle."""
+    from shaman_scraping_spark.operators.dedup import shingles_col
+    sh = shingles_col(text_col, shingle_k)
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_perm)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def q_minhash_neardup_perrow(spark, sf):
+    from shaman_scraping_spark.operators.dedup import shingles_col
+    df = _t_wide(spark, sf, "documents")
+    id_col, num_perm, bands, threshold = "doc_id", 16, 4, 0.5
+    sig_arr = _minhash_sig_per_row("text", num_perm, 3)
+    sig = (
+        df.filter(F.size(shingles_col("text", 3)) > 0)
+        .select(F.col(id_col), sig_arr.alias("__sig"))
+        .select(
+            F.col(id_col),
+            *[F.element_at("__sig", i + 1).alias(f"h{i}")
+              for i in range(num_perm)],
+        )
+    )
+    rows = num_perm // bands
+    band_exprs = []
+    for bd in range(bands):
+        cols = [F.col(f"h{bd * rows + r}") for r in range(rows)]
+        band_exprs.append(F.struct(F.lit(bd).alias("band_id"),
+                                   F.xxhash64(*cols).alias("band_hash")))
+    banded = sig.select(
+        F.col(id_col),
+        F.struct(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        F.explode(F.array(*band_exprs)).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.sig.h{i}") == F.col(f"b.sig.h{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (matches / F.lit(16.0)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+# --- pre-r6 shapes, kept verbatim for before/after interleaved A/Bs ---------
+
+def q_redirect_hops_selfjoin(spark, sf):
+    o1 = _t(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("d1"))
+    o2 = _t(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("d2"))
+    return (
+        o1.join(o2, "o_custkey")
+        .filter(F.col("d2") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hops"))
+    )
+
+
+def q_dedup_first_window(spark, sf):
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def q_frontier_merge_window(spark, sf):
+    from pyspark.sql import Window
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_totalprice") > 200000.0)
+    seen = _t(spark, sf, "customer").filter(F.col("c_acctbal") < 0.0).select(
+        F.col("c_custkey").alias("o_custkey"))
+    merged = a.unionByName(b).join(seen, "o_custkey", "left_anti")
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("o_orderdate").asc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_exact_dedup_window(spark, sf):
+    from pyspark.sql import Window
+    docs = _t(spark, sf, "documents").withColumn(
+        "word1", F.split_part(F.col("text"), F.lit(" "), F.lit(1)))
+    w = Window.partitionBy("lang", "word1").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "word1", F.col("doc_id").alias("keeper"))
+    )
+
+
+def q_minhash_neardup_oldshape(spark, sf):
+    """Pre-r6: candidates first, then two signature re-joins (the
+    4-evaluation shape), with the original inner-explode signatures."""
+    from shaman_scraping_spark.operators.dedup import (
+        lsh_candidate_pairs, shingles_col,
+    )
+    df = _t_wide(spark, sf, "documents")
+    num_perm = 16
+    ex = df.select(
+        F.col("doc_id"), F.explode(shingles_col("text", 3)).alias("sh"))
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_perm, 4)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perm)])
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perm)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(num_perm))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("est_jaccard", matches / F.lit(16.0))
+            .filter(F.col("est_jaccard") >= 0.5)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def q_simhash_explode64(spark, sf):
+    """Pre-r6 simhash: exploded tokens + 64 conditional-sum groupBy."""
+    from shaman_scraping_spark.operators.dedup import tokens_col
+    df = _t_wide(spark, sf, "documents")
+    ex = df.select(
+        F.col("doc_id"), F.explode(tokens_col("text")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"v{bit}") > 0, F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return votes.select(F.col("doc_id"), acc.alias("simhash"))
