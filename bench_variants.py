@@ -389,3 +389,39 @@ def q_simhash_explode64(spark, sf):
             F.when(F.col(f"v{bit}") > 0, F.lit(mask).cast("long"))
             .otherwise(F.lit(0).cast("long")))
     return votes.select(F.col("doc_id"), acc.alias("simhash"))
+
+
+def q_minhash_neardup_smj(spark, sf):
+    """Current shape + merge-join hint on the band self-join: identical
+    shuffle subplans on both sides -> ReuseExchange computes the
+    signature subtree ONCE (vs twice under the default broadcast)."""
+    from shaman_scraping_spark.operators.dedup import minhash_signatures
+    df = _t_wide(spark, sf, "documents")
+    id_col, num_perm, bands, threshold = "doc_id", 16, 4, 0.5
+    sig = minhash_signatures(df, id_col, "text", num_perm, 3)
+    rows = num_perm // bands
+    band_exprs = []
+    for bd in range(bands):
+        cols = [F.col(f"h{bd * rows + r}") for r in range(rows)]
+        band_exprs.append(F.struct(F.lit(bd).alias("band_id"),
+                                   F.xxhash64(*cols).alias("band_hash")))
+    banded = sig.select(
+        F.col(id_col),
+        F.struct(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        F.explode(F.array(*band_exprs)).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+    a, b = banded.hint("merge").alias("a"), banded.hint("merge").alias("b")
+    matches = sum(
+        F.when(F.col(f"a.sig.h{i}") == F.col(f"b.sig.h{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (matches / F.lit(16.0)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
